@@ -1,0 +1,117 @@
+"""Constructor-struct style configs (reference keeps library config in structs
+like BatchSize / create_aligner arguments; we mirror that with dataclasses so
+the library stays importable without the CLI.
+Reference: cudapoa/include/claragenomics/cudapoa/batch.hpp [U],
+cudaaligner/include/claragenomics/cudaaligner/aligner.hpp [U],
+cudamapper/src/application_parameters.cpp [U]).
+"""
+
+from dataclasses import dataclass, field
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass(frozen=True)
+class AlignerConfig:
+    """Static-shape plan for one aligner batch.
+
+    The reference sizes device slabs from (max_query_length,
+    max_target_length, max_alignments); on TPU the same numbers become the
+    padded array shapes of one XLA program.
+    """
+
+    max_query_length: int
+    max_target_length: int
+    max_alignments: int
+    # Band radius for banded ("Ukkonen") NW: cells with |i - j| > band_radius
+    # are outside the band.  Must be >= |len(q) - len(t)| for a global path to
+    # exist; alignments violating that get EXCEEDED_MAX_ALIGNMENT_DIFFERENCE.
+    band_radius: int = 64
+
+    @property
+    def band_width(self) -> int:
+        """Number of band cells per DP row, padded to the TPU lane count."""
+        return _round_up(2 * self.band_radius + 1, 128)
+
+    @property
+    def padded_query_length(self) -> int:
+        return _round_up(self.max_query_length, 8)
+
+    @property
+    def padded_target_length(self) -> int:
+        return _round_up(self.max_target_length, 8)
+
+
+@dataclass(frozen=True)
+class PoaScores:
+    """POA alignment scores (reference defaults: gap -8, mismatch -6, match 8;
+    reference: cudapoa create_batch defaults [U])."""
+
+    match_score: int = 8
+    mismatch_score: int = -6
+    gap_score: int = -8
+
+
+@dataclass(frozen=True)
+class BatchSize:
+    """Static capacity plan for one POA batch
+    (reference: cudapoa/include/claragenomics/cudapoa/batch.hpp BatchSize [U]).
+    """
+
+    max_sequence_size: int = 1024
+    max_consensus_size: int = 0          # 0 -> 2 * max_sequence_size
+    max_nodes_per_window: int = 0        # 0 -> 3 * max_sequence_size
+    max_sequences_per_poa: int = 16
+    band_width: int = 256                # static band for banded graph NW
+    max_pred_per_node: int = 4           # CUDAPOA_MAX_NODE_EDGES analog
+    max_aligned_per_node: int = 4        # CUDAPOA_MAX_NODE_ALIGNMENTS analog
+
+    def __post_init__(self):
+        if self.max_consensus_size == 0:
+            object.__setattr__(self, "max_consensus_size", 2 * self.max_sequence_size)
+        if self.max_nodes_per_window == 0:
+            object.__setattr__(self, "max_nodes_per_window", 3 * self.max_sequence_size)
+
+    @property
+    def padded_nodes(self) -> int:
+        return _round_up(self.max_nodes_per_window, 8)
+
+    @property
+    def padded_seq(self) -> int:
+        return _round_up(self.max_sequence_size, 128)
+
+
+@dataclass(frozen=True)
+class MapperConfig:
+    """Overlapper parameters (reference: cudamapper CLI flags [U] — exact
+    defaults unverified; chosen to match upstream docs where known)."""
+
+    kmer_size: int = 15                # -k
+    window_size: int = 15              # -w
+    hash_representations: bool = True
+    filtering_parameter: float = 1e-5  # -F: drop reps with freq > F (1.0 = off)
+    min_residues: int = 4              # min anchors per overlap
+    min_overlap_len: int = 50
+    min_bases_per_residue: int = 100
+    min_overlap_fraction: float = 0.95
+    max_anchor_gap: int = 5000         # chain trigger: max (qpos,tpos) step
+    index_size_mb: int = 30            # -i/-t batching budget (MB of bases)
+    skip_self_mappings: bool = True
+
+    def __post_init__(self):
+        if not (1 <= self.kmer_size <= 15):
+            # 2k bits must fit an int32 lane (31 bits incl. hash headroom).
+            # k in [1, 15] covers the reference's long-read defaults; larger k
+            # needs the uint64 path (tracked for a later round).
+            raise ValueError("kmer_size must be in [1, 15] (int32 fast path)")
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Overlap -> alignment pipeline (new composition, BASELINE config #4)."""
+
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    aligner_band_radius: int = 256
+    max_alignment_length: int = 16384

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on CPU with 8 fake devices so the full
+distributed path (shard_map, collectives, N-vs-1-device bit-exactness) is
+exercised without TPU hardware (SURVEY.md §4.5)."""
+
+import os
+
+# Must be set before jax import anywhere in the test process.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
