@@ -34,7 +34,8 @@ def nw_matrix(q: str | np.ndarray, t: str | np.ndarray) -> np.ndarray:
     D[:, 0] = np.arange(n + 1)
     D[0, :] = np.arange(m + 1)
     for i in range(1, n + 1):
-        sub = (qa[i - 1] != ta).astype(np.int32)  # vector over j
+        # negative codes (N / ambiguous bases) never match, even each other
+        sub = ((qa[i - 1] != ta) | (qa[i - 1] < 0) | (ta < 0)).astype(np.int32)
         row = D[i]
         prev = D[i - 1]
         row[1:] = np.minimum(prev[:-1] + sub, prev[1:] + 1)
@@ -66,7 +67,7 @@ def traceback(D: np.ndarray, q, t,
     while i > 0 or j > 0:
         here = D[i, j]
         if i > 0 and j > 0 and in_band(i - 1, j - 1):
-            sub = 0 if qa[i - 1] == ta[j - 1] else 1
+            sub = 0 if (qa[i - 1] == ta[j - 1] and qa[i - 1] >= 0) else 1
             if D[i - 1, j - 1] + sub == here:
                 path.append(AlignmentState.MATCH if sub == 0
                             else AlignmentState.MISMATCH)
@@ -99,7 +100,7 @@ def nw_banded_matrix(q, t, band_radius: int) -> tuple[np.ndarray, int]:
         jlo = max(1, i - band_radius)
         jhi = min(m, i + band_radius)
         for j in range(jlo, jhi + 1):
-            sub = 0 if qa[i - 1] == ta[j - 1] else 1
+            sub = 0 if (qa[i - 1] == ta[j - 1] and qa[i - 1] >= 0) else 1
             best = D[i - 1, j - 1] + sub
             if D[i - 1, j] + 1 < best:
                 best = D[i - 1, j] + 1

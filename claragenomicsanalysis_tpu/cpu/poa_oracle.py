@@ -147,7 +147,8 @@ class PoaGraph:
         for r, u in enumerate(order):
             prows = [S[rank[p] + 1] for p in self.preds[u]] or [S[0]]
             pmax = np.max(np.stack(prows), axis=0)
-            sub = np.where(np.array(seq) == self.node_base[u],
+            sarr = np.array(seq)
+            sub = np.where((sarr == self.node_base[u]) & (sarr >= 0),
                            sc.match_score, sc.mismatch_score)
             row = S[r + 1]
             row[0] = pmax[0] + sc.gap_score
@@ -170,7 +171,8 @@ class PoaGraph:
                 continue
             u = order[r]
             here = S[r + 1, j]
-            sub = (sc.match_score if j > 0 and seq[j - 1] == self.node_base[u]
+            sub = (sc.match_score
+                   if j > 0 and seq[j - 1] == self.node_base[u] and seq[j - 1] >= 0
                    else sc.mismatch_score)
             moved = False
             plist = self.preds[u] or [-1]
@@ -226,12 +228,12 @@ class PoaGraph:
             b = seq[pos]
             w = weights[pos]
             if node >= 0:
-                if self.node_base[node] == b:
+                if self.node_base[node] == b and b >= 0:
                     target = node
                 else:
                     target = -1
                     for a in self.aligned[node]:
-                        if self.node_base[a] == b:
+                        if self.node_base[a] == b and b >= 0:
                             target = a
                             break
                     if target < 0:

@@ -1,0 +1,193 @@
+"""Batched pairwise global aligner — the cudaaligner equivalent.
+
+API mirrors the reference's Aligner/Alignment surface (reference:
+cudaaligner/include/claragenomics/cudaaligner/aligner.hpp, alignment.hpp [U]):
+``create_aligner(...)`` -> ``Aligner`` with ``add_alignment`` /
+``align_all`` / ``get_alignments`` / ``reset``; each result exposes the edit
+path, CIGAR, pretty 3-line view and a per-problem StatusType.
+
+TPU-native behavior differences from the reference (by design):
+- ``align_all`` dispatches ONE jitted XLA program over the whole padded batch
+  (no streams; JAX async dispatch overlaps host packing with device compute).
+- Problems that exceed static limits get a status and an empty result instead
+  of being rejected at add time where the reference's behavior was the same
+  (add_alignment returns the would-be status too, like the reference).
+
+Algorithms:
+- ``ukkonen`` (default): banded NW via ops.nw_band (scan or Pallas backend).
+- ``myers``: Myers bit-vector edit distance with banded traceback
+  (ops.myers), for pairs whose edit distance fits the band at traceback time.
+- ``hirschberg-myers``: linear-memory divide and conquer for long pairs
+  (align.hirschberg).
+"""
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..core.config import AlignerConfig
+from ..core.status import AlignmentType, CIGAR_OP_COMPACT, StatusType
+from ..cpu import nw_oracle
+from ..utils.genomeutils import encode
+
+
+@dataclass
+class Alignment:
+    """One alignment result (reference: Alignment interface [U])."""
+
+    query: str
+    target: str
+    status: StatusType
+    alignment_type: AlignmentType = AlignmentType.GLOBAL_ALIGNMENT
+    path: list[int] = field(default_factory=list)   # AlignmentState codes
+    edit_distance: int = -1
+
+    def get_query(self) -> str:
+        return self.query
+
+    def get_target(self) -> str:
+        return self.target
+
+    def get_alignment(self) -> list[int]:
+        return self.path
+
+    def convert_to_cigar(self, extended: bool = False) -> str:
+        return nw_oracle.path_to_cigar(self.path, extended=extended)
+
+    def format_alignment(self, width: int = 80) -> str:
+        return nw_oracle.format_alignment(self.path, self.query, self.target,
+                                          width)
+
+
+class Aligner:
+    """Batched global aligner over statically-shaped device arrays."""
+
+    def __init__(self, config: AlignerConfig, algorithm: str = "ukkonen",
+                 backend: str = "auto"):
+        if algorithm not in ("ukkonen", "myers", "hirschberg-myers"):
+            raise ValueError(f"unknown algorithm {algorithm!r}")
+        self.config = config
+        self.algorithm = algorithm
+        self.backend = backend
+        self._queries: list[str] = []
+        self._targets: list[str] = []
+        self._results: list[Alignment] | None = None
+
+    # ------------------------------------------------------------------ API
+
+    def add_alignment(self, query: str, target: str) -> StatusType:
+        cfg = self.config
+        if len(self._queries) >= cfg.max_alignments:
+            return StatusType.EXCEEDED_MAX_ALIGNMENTS
+        if len(query) > cfg.max_query_length or len(target) > cfg.max_target_length:
+            # keep the slot so results stay index-aligned, mark it failed
+            self._queries.append(query)
+            self._targets.append(target)
+            self._results = None
+            return StatusType.EXCEEDED_MAX_LENGTH
+        self._queries.append(query)
+        self._targets.append(target)
+        self._results = None
+        return StatusType.SUCCESS
+
+    def align_all(self) -> None:
+        self._results = self._run_batch()
+
+    def sync_alignments(self) -> None:
+        if self._results is None:
+            self.align_all()
+
+    def get_alignments(self) -> list[Alignment]:
+        self.sync_alignments()
+        assert self._results is not None
+        return self._results
+
+    def reset(self) -> None:
+        self._queries.clear()
+        self._targets.clear()
+        self._results = None
+
+    # ------------------------------------------------------------ internals
+
+    def _pack(self):
+        """Pack to padded arrays; the batch dim is bucketed to the next power
+        of two so repeated batches of similar size reuse one XLA executable
+        (the TPU analog of the reference's fixed-capacity device slabs)."""
+        cfg = self.config
+        B = len(self._queries)
+        Bpad = max(8, 1 << (B - 1).bit_length())
+        q = np.full((Bpad, cfg.padded_query_length), -1, dtype=np.int8)
+        t = np.full((Bpad, cfg.padded_target_length), -1, dtype=np.int8)
+        qlen = np.zeros(Bpad, dtype=np.int32)
+        tlen = np.zeros(Bpad, dtype=np.int32)
+        for b, (qs, ts) in enumerate(zip(self._queries, self._targets)):
+            q[b] = encode(qs[: cfg.max_query_length], cfg.padded_query_length)
+            t[b] = encode(ts[: cfg.max_target_length], cfg.padded_target_length)
+            qlen[b] = min(len(qs), cfg.max_query_length)
+            tlen[b] = min(len(ts), cfg.max_target_length)
+        return q, qlen, t, tlen, B
+
+    def _run_batch(self) -> list[Alignment]:
+        if not self._queries:
+            return []
+        cfg = self.config
+        q, qlen, t, tlen, B = self._pack()
+
+        overlong = np.array(
+            [len(qs) > cfg.max_query_length or len(ts) > cfg.max_target_length
+             for qs, ts in zip(self._queries, self._targets)])
+        if self.algorithm == "hirschberg-myers":
+            from ..align.hirschberg import hirschberg_align_batch
+            paths, dists, statuses = hirschberg_align_batch(
+                self._queries, self._targets, cfg)
+        elif self.algorithm == "myers":
+            from ..align.myers_aligner import myers_align_batch
+            paths, dists, statuses = myers_align_batch(
+                q, qlen, t, tlen, cfg, backend=self.backend)
+        else:
+            paths, dists, statuses = self._run_ukkonen(q, qlen, t, tlen)
+
+        out = []
+        for b in range(B):
+            status = StatusType(int(statuses[b]))
+            if overlong[b]:
+                status = StatusType.EXCEEDED_MAX_LENGTH
+            ok = status == StatusType.SUCCESS
+            out.append(Alignment(
+                query=self._queries[b], target=self._targets[b],
+                status=status,
+                path=paths[b] if ok else [],
+                edit_distance=int(dists[b]) if ok else -1,
+            ))
+        return out
+
+    def _run_ukkonen(self, q, qlen, t, tlen):
+        from ..ops import nw_band
+        from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
+        cfg = self.config
+        use_pallas = (self.backend == "pallas"
+                      or (self.backend == "auto" and pallas_available()))
+        fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+        scores, tb = fn(q, qlen, t, tlen, cfg.band_radius)
+        scores = np.asarray(scores)
+        tb = np.asarray(tb)
+        paths = nw_band.traceback_paths(tb, qlen, tlen, cfg.band_radius)
+        statuses = np.where(scores >= nw_band.INF,
+                            int(StatusType.EXCEEDED_MAX_ALIGNMENT_DIFFERENCE),
+                            int(StatusType.SUCCESS))
+        return paths, scores, statuses
+
+
+def create_aligner(max_query_length: int, max_target_length: int,
+                   max_alignments: int,
+                   alignment_type: AlignmentType = AlignmentType.GLOBAL_ALIGNMENT,
+                   band_radius: int = 64, algorithm: str = "ukkonen",
+                   backend: str = "auto") -> Aligner:
+    """Factory mirroring the reference's create_aligner [U]."""
+    if alignment_type != AlignmentType.GLOBAL_ALIGNMENT:
+        raise ValueError("only global alignment is supported")
+    cfg = AlignerConfig(max_query_length=max_query_length,
+                        max_target_length=max_target_length,
+                        max_alignments=max_alignments,
+                        band_radius=band_radius)
+    return Aligner(cfg, algorithm=algorithm, backend=backend)

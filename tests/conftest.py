@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax  # noqa: E402
+
+# XLA compilation in this sandbox is slow (~tens of seconds per executable);
+# the persistent cache makes re-runs fast.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
