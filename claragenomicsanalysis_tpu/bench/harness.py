@@ -1,0 +1,83 @@
+"""Benchmark harness (reference: google-benchmark harnesses under
+cudaaligner/benchmarks, cudapoa/benchmarks [U]).
+
+Timing rules discovered for this environment (remote TPU behind the axon
+tunnel) — all enforced here so callers can't get them wrong:
+
+1. `block_until_ready` does NOT wait for device execution (measured
+   88 PFLOP/s on a matmul chain); only host materialization (`np.asarray`)
+   forces it.  So we time a to-host transfer of a SMALL on-device checksum.
+2. The tunnel memoizes (executable, input bytes) pairs, so the timed dispatch
+   must see different bytes than the warmup dispatch.
+3. Per-dispatch tunnel latency is large and variable; we scan the kernel over
+   K distinct device-resident datasets inside ONE dispatch and subtract a
+   measured empty-dispatch latency.
+
+Within a dispatch, all K outputs are materialized to HBM (they are `lax.scan`
+ys) and then reduced to one scalar — so output-write bandwidth is included in
+the measurement, while only 4 bytes cross the tunnel.
+"""
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LATENCY_CACHE: dict[int, float] = {}
+
+
+def dispatch_latency(samples: int = 5) -> float:
+    """Median time of a near-empty dispatch + scalar to host (tunnel floor)."""
+    if 0 in _LATENCY_CACHE:
+        return _LATENCY_CACHE[0]
+
+    @jax.jit
+    def nop(x):
+        return x + 1
+
+    ts = []
+    for i in range(samples + 1):
+        t0 = time.perf_counter()
+        np.asarray(nop(jnp.int32(i)))
+        ts.append(time.perf_counter() - t0)
+    lat = float(np.median(ts[1:]))  # drop compile
+    _LATENCY_CACHE[0] = lat
+    return lat
+
+
+def time_scanned(fn, datasets: list[tuple], warmup: bool = True,
+                 repeats: int = 3) -> float:
+    """Seconds per iteration of fn over K stacked datasets (see module doc)."""
+    K = len(datasets)
+
+    def stack(ds):
+        return tuple(jnp.stack([jnp.asarray(d[i]) for d in ds])
+                     for i in range(len(ds[0])))
+
+    stacked = stack(datasets)
+    stacked_warm = stack(datasets[1:] + datasets[:1])
+
+    @jax.jit
+    def run(stacked, salt):
+        def step(carry, xs):
+            return carry, fn(*xs)
+        _, ys = jax.lax.scan(step, 0, stacked)
+        leaves = jax.tree_util.tree_leaves(ys)
+        return sum(jnp.sum(l.astype(jnp.int32)) for l in leaves) + salt
+
+    if warmup:
+        np.asarray(run(stacked_warm, jnp.int32(0)))
+    best = float("inf")
+    for rep in range(repeats):
+        # distinct salt -> distinct input bytes -> no tunnel memoization
+        t0 = time.perf_counter()
+        np.asarray(run(stacked, jnp.int32(rep + 1)))
+        best = min(best, time.perf_counter() - t0)
+    return max(best - dispatch_latency(), 1e-9) / K
+
+
+def bench_result(metric: str, value: float, unit: str,
+                 baseline: float | None = None) -> dict:
+    return {"metric": metric, "value": float(value), "unit": unit,
+            "vs_baseline": float(value / baseline) if baseline else None}
