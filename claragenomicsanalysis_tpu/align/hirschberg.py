@@ -1,0 +1,127 @@
+"""Hirschberg–Myers divide-and-conquer aligner for long pairs.
+
+Linear-memory global alignment: Myers bottom-row scores locate the optimal
+crossing column of the middle query row; recursion solves the two halves
+(reference: cudaaligner/src/hirschberg_myers_gpu.cu [U], which runs a
+device-side work stack).  The TPU design is a *level-batched* host driver:
+at each recursion level, ALL open fragments across the whole batch are padded
+into ONE forward + reverse Myers call (two scan programs per level, O(log L)
+levels), and all base-case fragments are solved by the canonical banded-NW
+kernel in power-of-two buckets.
+
+The produced path is optimal (cost == edit distance, asserted in tests) and
+deterministic (split ties -> smallest column), but unlike the `myers`
+algorithm it is not guaranteed to equal the dense canonical tie-break path —
+same caveat as the reference's Hirschberg vs its own full-matrix Myers.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.config import AlignerConfig
+from ..core.status import StatusType
+from ..ops import nw_band
+from ..ops.myers import myers_bottom_row
+from ..utils.genomeutils import encode
+from ..utils.mathutils import round_up
+
+BASE_Q = 32  # fragments with query side <= BASE_Q solve directly
+
+
+@dataclass
+class _Frag:
+    pair: int
+    qlo: int
+    qhi: int
+    tlo: int
+    thi: int
+
+
+def _pad_batch(seqs: list[np.ndarray], L: int) -> np.ndarray:
+    out = np.full((len(seqs), L), -1, dtype=np.int8)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out
+
+
+def hirschberg_align_batch(queries: list[str], targets: list[str],
+                           cfg: AlignerConfig):
+    """Returns (paths, dists, statuses) matching models.aligner's contract."""
+    B = len(queries)
+    qcodes = [encode(s) for s in queries]
+    tcodes = [encode(s) for s in targets]
+    pieces: dict[int, list[tuple[int, int, list[int]]]] = {b: [] for b in range(B)}
+
+    frags = [_Frag(b, 0, len(qcodes[b]), 0, len(tcodes[b])) for b in range(B)]
+    while frags:
+        base = [f for f in frags if f.qhi - f.qlo <= BASE_Q]
+        split = [f for f in frags if f.qhi - f.qlo > BASE_Q]
+        if base:
+            _solve_base(base, qcodes, tcodes, pieces)
+        frags = _split_level(split, qcodes, tcodes) if split else []
+
+    paths = []
+    dists = np.zeros(B, dtype=np.int64)
+    statuses = np.full(B, int(StatusType.SUCCESS))
+    for b in range(B):
+        path: list[int] = []
+        for _, _, p in sorted(pieces[b], key=lambda x: (x[0], x[1])):
+            path.extend(p)
+        paths.append(path)
+        dists[b] = sum(1 for s in path if s != 0)
+    return paths, dists, statuses
+
+
+def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
+    """Solve small fragments with the canonical banded-NW kernel, bucketed by
+    power-of-two band radius (r = max side covers any path)."""
+    buckets: dict[int, list[_Frag]] = {}
+    for f in base:
+        side = max(f.qhi - f.qlo, f.thi - f.tlo, 1)
+        r = max(8, 1 << (side - 1).bit_length())
+        buckets.setdefault(r, []).append(f)
+    for r, fs in sorted(buckets.items()):
+        qs = [qcodes[f.pair][f.qlo:f.qhi] for f in fs]
+        ts = [tcodes[f.pair][f.tlo:f.thi] for f in fs]
+        Lq = round_up(max(max((len(x) for x in qs), default=1), 1), 8)
+        Lt = round_up(max(max((len(x) for x in ts), default=1), 1), 8)
+        q = _pad_batch(qs, Lq)
+        t = _pad_batch(ts, Lt)
+        qlen = np.array([len(x) for x in qs], np.int32)
+        tlen = np.array([len(x) for x in ts], np.int32)
+        _, tb = nw_band.banded_nw(q, qlen, t, tlen, r)
+        sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r)
+        for f, p in zip(fs, sub):
+            pieces[f.pair].append((f.qlo, f.tlo, p))
+
+
+def _split_level(split: list[_Frag], qcodes, tcodes) -> list[_Frag]:
+    """One D&C level: forward + reverse Myers rows for every fragment in one
+    batched call each; emit the two child fragments per input."""
+    mids = [(f.qlo + f.qhi) // 2 for f in split]
+    fwd_q = [qcodes[f.pair][f.qlo:m] for f, m in zip(split, mids)]
+    rev_q = [qcodes[f.pair][m:f.qhi][::-1] for f, m in zip(split, mids)]
+    fwd_t = [tcodes[f.pair][f.tlo:f.thi] for f in split]
+    rev_t = [tcodes[f.pair][f.tlo:f.thi][::-1] for f in split]
+
+    Lq = round_up(max(max(len(x) for x in fwd_q + rev_q), 1), 8)
+    Lt = round_up(max(max(len(x) for x in fwd_t), 1), 8)
+    q = _pad_batch(fwd_q + rev_q, Lq)
+    t = _pad_batch(fwd_t + rev_t, Lt)
+    qlen = np.array([len(x) for x in fwd_q + rev_q], np.int32)
+    tlen = np.array([len(x) for x in fwd_t + rev_t], np.int32)
+    rows, _ = myers_bottom_row(q, qlen, t, tlen)
+    rows = np.asarray(rows)
+
+    out: list[_Frag] = []
+    n = len(split)
+    for i, (f, m) in enumerate(zip(split, mids)):
+        mlen = f.thi - f.tlo
+        fr = rows[i, : mlen + 1]
+        rr = rows[n + i, : mlen + 1]
+        total = fr + rr[::-1]
+        jstar = int(np.argmin(total))  # ties -> smallest column
+        out.append(_Frag(f.pair, f.qlo, m, f.tlo, f.tlo + jstar))
+        out.append(_Frag(f.pair, m, f.qhi, f.tlo + jstar, f.thi))
+    return out

@@ -1,0 +1,57 @@
+"""Myers-scored alignment with banded traceback.
+
+The reference's Myers aligner stores full PV/MV delta columns and backtraces
+them on-device (reference: cudaaligner/src/myers_gpu.cu [U]).  The TPU design
+avoids materializing O(n*m/32) bit columns entirely:
+
+1. run the Myers bit-vector kernel (ops/myers.py) to get each pair's exact
+   edit distance s;
+2. re-run the canonical banded-NW kernel with band radius r >= s.
+
+Any optimal path stays within |i-j| <= s (each off-diagonal step costs 1),
+and for every cell on an optimal path the banded DP value equals the dense
+value, while banded values elsewhere only increase — so the banded traceback
+reproduces the *dense canonical* path exactly.  Pairs are bucketed by
+power-of-two band radius so only O(log L) XLA executables exist.
+"""
+
+import numpy as np
+
+from ..core.config import AlignerConfig
+from ..core.status import StatusType
+from ..ops import nw_band
+from ..ops.myers import myers_bottom_row
+
+
+def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
+                      backend: str = "auto"):
+    """Returns (paths, dists, statuses) for the packed batch."""
+    from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and pallas_available()))
+    nw_fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+
+    B = q.shape[0]
+    _, scores = myers_bottom_row(q, qlen, t, tlen)
+    scores = np.asarray(scores)
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+
+    paths: list[list[int]] = [[] for _ in range(B)]
+    statuses = np.full(B, int(StatusType.SUCCESS))
+    # bucket by band radius = next pow2 >= s (s >= |n-m| always)
+    radii = np.maximum(scores, 1)
+    buckets: dict[int, list[int]] = {}
+    for b in range(B):
+        r = 1 << int(radii[b] - 1).bit_length()
+        r = max(r, 8)
+        buckets.setdefault(r, []).append(b)
+
+    for r, idxs in sorted(buckets.items()):
+        sel = np.array(idxs)
+        _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
+        sub_paths = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
+                                            tlen[sel], r)
+        for k, b in enumerate(idxs):
+            paths[b] = sub_paths[k]
+    return paths, scores, statuses

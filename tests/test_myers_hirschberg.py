@@ -1,0 +1,108 @@
+"""Myers bit-vector + Hirschberg tests vs the oracle."""
+
+import numpy as np
+import pytest
+
+from claragenomicsanalysis_tpu.core.status import AlignmentState, StatusType
+from claragenomicsanalysis_tpu.cpu import nw_oracle as nw
+from claragenomicsanalysis_tpu.models import create_aligner
+from claragenomicsanalysis_tpu.ops.myers import myers_bottom_row
+from claragenomicsanalysis_tpu.utils.genomeutils import (encode,
+                                                         generate_random_genome,
+                                                         mutate_sequence)
+
+
+def _pack(pairs, Lq, Lt):
+    q = np.stack([encode(a, Lq) for a, _ in pairs])
+    t = np.stack([encode(b, Lt) for _, b in pairs])
+    qlen = np.array([len(a) for a, _ in pairs], dtype=np.int32)
+    tlen = np.array([len(b) for _, b in pairs], dtype=np.int32)
+    return q, qlen, t, tlen
+
+
+def test_myers_bottom_rows_match_oracle(rng):
+    pairs = []
+    for _ in range(10):
+        a = generate_random_genome(int(rng.integers(1, 90)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 15)), rng)
+        pairs.append((a, b))
+    pairs += [("", "ACG"), ("ACG", ""), ("A" * 33, "A" * 40), ("ANNA", "ANNA")]
+    q, qlen, t, tlen = _pack(pairs, 96, 112)
+    rows, scores = myers_bottom_row(q, qlen, t, tlen)
+    rows, scores = np.asarray(rows), np.asarray(scores)
+    for i, (a, b) in enumerate(pairs):
+        D = nw.nw_matrix(a, b)
+        np.testing.assert_array_equal(rows[i, : len(b) + 1], D[len(a), :])
+        assert scores[i] == D[len(a), len(b)]
+
+
+def test_myers_multiword_boundaries(rng):
+    # lengths straddling 32-bit word boundaries
+    pairs = []
+    for n in (31, 32, 33, 63, 64, 65, 127, 128):
+        a = generate_random_genome(n, rng)
+        b = mutate_sequence(a, 5, rng)
+        pairs.append((a, b))
+    q, qlen, t, tlen = _pack(pairs, 136, 152)
+    _, scores = myers_bottom_row(q, qlen, t, tlen)
+    for i, (a, b) in enumerate(pairs):
+        _, d, _ = nw.align(a, b)
+        assert np.asarray(scores)[i] == d, (i, len(a))
+
+
+def test_myers_aligner_paths_are_canonical(rng):
+    aligner = create_aligner(128, 128, 32, algorithm="myers")
+    pairs = []
+    for _ in range(12):
+        a = generate_random_genome(int(rng.integers(5, 120)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 20)), rng)[:128]
+        pairs.append((a, b))
+        aligner.add_alignment(a, b)
+    for res, (a, b) in zip(aligner.get_alignments(), pairs):
+        o_path, o_dist, _ = nw.align(a, b)   # dense canonical
+        assert res.status == StatusType.SUCCESS
+        assert res.edit_distance == o_dist
+        assert res.path == o_path            # exact canonical path
+
+
+def test_hirschberg_optimal_and_valid(rng):
+    aligner = create_aligner(512, 512, 8, algorithm="hirschberg-myers")
+    pairs = []
+    for _ in range(6):
+        a = generate_random_genome(int(rng.integers(100, 400)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 40)), rng)[:512]
+        pairs.append((a, b))
+        aligner.add_alignment(a, b)
+    for res, (a, b) in zip(aligner.get_alignments(), pairs):
+        _, o_dist, _ = nw.align(a, b)
+        assert res.status == StatusType.SUCCESS
+        # optimal cost
+        assert res.edit_distance == o_dist
+        # valid path: consumes exactly q and t, cost matches
+        qi = sum(1 for s in res.path if s in (0, 1, 2))
+        tj = sum(1 for s in res.path if s in (0, 1, 3))
+        assert qi == len(a) and tj == len(b)
+        cost = sum(1 for s in res.path if s != AlignmentState.MATCH)
+        # MISMATCH/INS/DEL each cost 1; recompute true cost from bases
+        cost = 0
+        i = j = 0
+        for s in res.path:
+            if s == AlignmentState.MATCH:
+                assert a[i] == b[j]; i += 1; j += 1
+            elif s == AlignmentState.MISMATCH:
+                assert a[i] != b[j]; cost += 1; i += 1; j += 1
+            elif s == AlignmentState.INSERTION:
+                cost += 1; i += 1
+            else:
+                cost += 1; j += 1
+        assert cost == o_dist
+
+
+def test_hirschberg_identical_and_empty():
+    aligner = create_aligner(256, 256, 4, algorithm="hirschberg-myers")
+    aligner.add_alignment("ACGT" * 40, "ACGT" * 40)
+    aligner.add_alignment("", "ACGT")
+    res = aligner.get_alignments()
+    assert res[0].edit_distance == 0
+    assert res[0].convert_to_cigar() == "160M"
+    assert res[1].convert_to_cigar() == "4D"
