@@ -1,0 +1,234 @@
+"""Batched POA — the cudapoa equivalent.
+
+API mirrors the reference Batch surface (reference:
+cudapoa/include/claragenomics/cudapoa/batch.hpp [U]): ``create_batch(...)`` ->
+``Batch`` with ``add_poa_group`` / ``generate_poa`` / ``get_consensus`` /
+``get_msa`` / ``get_graphs`` / ``reset``; per-window StatusType discipline.
+
+TPU-native behavior: all windows of the batch run as ONE vmapped XLA program
+(the reference launches one CUDA block per window); per-window work is a
+lax.scan over the window's sequences, each step = topsort + graph-NW +
+traceback + masked graph extension (ops/poa_ops.py).
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import BatchSize, PoaScores
+from ..core.status import OutputType, StatusType
+from ..ops import poa_ops
+from ..utils.genomeutils import BASES, encode
+
+
+@functools.lru_cache(maxsize=16)
+def _build_program(bs: BatchSize, sc: PoaScores, msa: bool):
+    N, P, A = bs.padded_nodes, bs.max_pred_per_node, bs.max_aligned_per_node
+    S, L = bs.max_sequences_per_poa, bs.padded_seq
+    TL = N + L
+    MC = bs.max_consensus_size
+
+    def run_window(seqs, weights, lens, n_seqs):
+        state = poa_ops.init_state(bs, seqs[0], weights[0], lens[0])
+        level0 = jnp.where(jnp.arange(N) < lens[0],
+                           jnp.arange(N, dtype=jnp.int32), 0)
+
+        def add_seq(carry, x):
+            state, level = carry
+            seq, w, slen, s_idx = x
+            active = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
+            new_level, order, rank, ok = poa_ops.topsort(state, level, N + 2)
+            Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc)
+            pn, pp, _ = poa_ops.nw_traceback(state, order, rank, Smat, seq,
+                                             slen, sc, TL)
+            new_state = poa_ops.add_alignment(state, pn, pp, seq, w,
+                                              s_idx, bs)
+            new_state = new_state._replace(status=jnp.where(
+                ok, new_state.status,
+                jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND)))
+            state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(active, a, b), new_state, state)
+            level = jnp.where(active, new_level, level)
+            return (state, level), ()
+
+        xs = (seqs[1:], weights[1:], lens[1:],
+              jnp.arange(1, S, dtype=jnp.int32))
+        (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
+
+        _, order, rank, _ = poa_ops.topsort(state, level, N + 2)
+        codes, covs, length = poa_ops.consensus(state, order, rank, MC)
+        if msa:
+            col, n_cols = poa_ops.msa_columns(state, order, rank)
+            rows = poa_ops.msa_rows(state, col, n_cols, N)
+        else:
+            rows = jnp.zeros((S, 1), jnp.int32)
+            n_cols = jnp.int32(0)
+        return codes, covs, length, rows, n_cols, state.status
+
+    return jax.jit(jax.vmap(run_window))
+
+
+class Batch:
+    """POA batch over padded windows (reference: cudapoa Batch [U])."""
+
+    def __init__(self, batch_size: BatchSize | None = None,
+                 scores: PoaScores | None = None,
+                 output_mask: int = OutputType.CONSENSUS,
+                 max_poas: int = 1024):
+        self.batch_size = batch_size or BatchSize()
+        self.scores = scores or PoaScores()
+        self.output_mask = OutputType(output_mask)
+        self.max_poas = max_poas
+        self._groups: list[tuple[list[str], list[list[int]]]] = []
+        self._host_status: list[StatusType] = []
+        self._out = None
+
+    # ------------------------------------------------------------------ API
+
+    def add_poa_group(self, seqs: list[str],
+                      weights: list[list[int]] | None = None) -> StatusType:
+        bs = self.batch_size
+        if len(self._groups) >= self.max_poas:
+            return StatusType.EXCEEDED_MAXIMUM_POAS
+        status = StatusType.SUCCESS
+        if len(seqs) > bs.max_sequences_per_poa:
+            status = StatusType.EXCEEDED_MAXIMUM_SEQUENCES_PER_POA
+        elif any(len(s) > bs.max_sequence_size for s in seqs):
+            status = StatusType.EXCEEDED_MAXIMUM_SEQUENCE_SIZE
+        if weights is None:
+            weights = [[1] * len(s) for s in seqs]
+        self._groups.append((seqs, weights))
+        self._host_status.append(status)
+        self._out = None
+        return status
+
+    def get_total_poas(self) -> int:
+        return len(self._groups)
+
+    def generate_poa(self) -> None:
+        bs = self.batch_size
+        S, L = bs.max_sequences_per_poa, bs.padded_seq
+        W = len(self._groups)
+        if W == 0:
+            self._out = ([],) * 6
+            return
+        Wp = max(8, 1 << (W - 1).bit_length())
+        seqs = np.full((Wp, S, L), -1, dtype=np.int32)
+        weights = np.zeros((Wp, S, L), dtype=np.int32)
+        lens = np.zeros((Wp, S), dtype=np.int32)
+        n_seqs = np.zeros(Wp, dtype=np.int32)
+        for wi, ((group, wts), hstat) in enumerate(
+                zip(self._groups, self._host_status)):
+            if hstat != StatusType.SUCCESS:
+                continue  # leave as empty window; host status wins at decode
+            n_seqs[wi] = len(group)
+            for si, (s, wt) in enumerate(zip(group, wts)):
+                seqs[wi, si, : len(s)] = encode(s)
+                weights[wi, si, : len(s)] = wt
+                lens[wi, si] = len(s)
+        program = _build_program(self.batch_size, self.scores,
+                                 bool(self.output_mask & OutputType.MSA))
+        out = program(jnp.asarray(seqs), jnp.asarray(weights),
+                      jnp.asarray(lens), jnp.asarray(n_seqs))
+        self._out = tuple(np.asarray(o) for o in out)
+
+    def _ensure(self):
+        if self._out is None:
+            self.generate_poa()
+
+    def get_consensus(self):
+        """Returns (consensus list[str], coverage list[list[int]],
+        statuses list[StatusType])."""
+        self._ensure()
+        codes, covs, lengths, _, _, dstat = self._out
+        out_s, out_c, out_st = [], [], []
+        for wi in range(len(self._groups)):
+            st = self._host_status[wi]
+            if st == StatusType.SUCCESS:
+                st = StatusType(int(dstat[wi]))
+            if st != StatusType.SUCCESS:
+                out_s.append("")
+                out_c.append([])
+                out_st.append(st)
+                continue
+            n = int(lengths[wi])
+            if n > self.batch_size.max_consensus_size:
+                n = self.batch_size.max_consensus_size
+            out_s.append("".join(BASES[c] for c in codes[wi, :n] if c >= 0))
+            out_c.append([int(x) for x in covs[wi, :n]])
+            out_st.append(StatusType.SUCCESS)
+        return out_s, out_c, out_st
+
+    def get_msa(self):
+        """Returns (msa list[list[str]], statuses)."""
+        if not (self.output_mask & OutputType.MSA):
+            n = len(self._groups)
+            return [[] for _ in range(n)], [StatusType.OUTPUT_TYPE_UNAVAILABLE] * n
+        self._ensure()
+        _, _, _, rows, n_cols, dstat = self._out
+        out_m, out_st = [], []
+        for wi in range(len(self._groups)):
+            st = self._host_status[wi]
+            if st == StatusType.SUCCESS:
+                st = StatusType(int(dstat[wi]))
+            if st != StatusType.SUCCESS:
+                out_m.append([])
+                out_st.append(st)
+                continue
+            nc = int(n_cols[wi])
+            msa = []
+            for si in range(len(self._groups[wi][0])):
+                row = rows[wi, si, :nc]
+                msa.append("".join(BASES[c] if c >= 0 else "-" for c in row))
+            out_m.append(msa)
+            out_st.append(StatusType.SUCCESS)
+        return out_m, out_st
+
+    def get_graphs(self):
+        """Re-run the CPU oracle to expose DirectedGraph views (debug path,
+        matches device results by the oracle-equality contract)."""
+        from ..cpu.poa_oracle import PoaGraph, _Overflow
+        graphs = []
+        for (seqs, weights), hstat in zip(self._groups, self._host_status):
+            if hstat != StatusType.SUCCESS:
+                graphs.append(None)
+                continue
+            g = PoaGraph(batch_size=self.batch_size, scores=self.scores)
+            try:
+                for i, s in enumerate(seqs):
+                    codes = list(encode(s))
+                    if i == 0:
+                        g.add_first_sequence(codes, weights[i])
+                    else:
+                        path = g.align_sequence(codes)
+                        g.add_alignment(path, codes, weights[i])
+                graphs.append(g.to_directed_graph())
+            except _Overflow:
+                graphs.append(None)
+        return graphs
+
+    def reset(self) -> None:
+        self._groups.clear()
+        self._host_status.clear()
+        self._out = None
+
+
+def create_batch(batch_size: BatchSize | None = None,
+                 scores: PoaScores | None = None,
+                 output_mask: int = OutputType.CONSENSUS,
+                 max_poas: int = 1024,
+                 gap_score: int | None = None,
+                 mismatch_score: int | None = None,
+                 match_score: int | None = None) -> Batch:
+    """Factory mirroring the reference create_batch [U]."""
+    if scores is None and any(v is not None for v in
+                              (gap_score, mismatch_score, match_score)):
+        d = PoaScores()
+        scores = PoaScores(
+            match_score=match_score if match_score is not None else d.match_score,
+            mismatch_score=mismatch_score if mismatch_score is not None else d.mismatch_score,
+            gap_score=gap_score if gap_score is not None else d.gap_score)
+    return Batch(batch_size, scores, output_mask, max_poas)
