@@ -91,7 +91,7 @@ class MapperConfig:
     kmer_size: int = 15                # -k
     window_size: int = 15              # -w
     hash_representations: bool = True
-    filtering_parameter: float = 1e-5  # -F: drop reps with freq > F (1.0 = off)
+    filtering_parameter: float = 1.0   # -F: drop reps with freq > F (1.0 = off)
     min_residues: int = 4              # min anchors per overlap
     min_overlap_len: int = 50
     min_bases_per_residue: int = 100

@@ -1,0 +1,221 @@
+"""All-vs-all minimizer overlap mapper — the cudamapper equivalent.
+
+API mirrors the reference surface (reference: cudamapper/include/
+claragenomics/cudamapper/{index,matcher,overlapper}.hpp [U]):
+``Index.create_index`` / ``Matcher.create_matcher`` / ``Overlapper`` plus an
+all-vs-all driver with index batching, host index caching and deterministic
+PAF output.
+
+TPU-native behavior: sketching/sorting/matching/chaining are single XLA
+programs over padded batches (ops/sketch.py, ops/map_ops.py); the reference's
+per-GPU worker threads become a sequential (query-batch x target-batch) loop
+whose device work is async-dispatched, with results merged in canonical
+Overlap.key() order so output is bit-identical for any batching.
+"""
+
+from dataclasses import dataclass
+from fractions import Fraction
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.config import MapperConfig
+from ..core.status import StatusType
+from ..core.types import Overlap
+from ..io.fasta import FastaParser
+from ..io.paf import format_paf_row
+from ..ops import map_ops, sketch
+from ..utils.genomeutils import encode
+from ..utils.mathutils import round_up
+from ..utils.profiling import trace_range
+
+
+class Index:
+    """Minimizer index over parser reads [first, past_last)
+    (reference: Index [U])."""
+
+    def __init__(self, arrays: dict, first_read_id: int, read_lengths: list[int],
+                 read_names: list[str]):
+        self._arrays = arrays
+        self.first_read_id = first_read_id
+        self.read_lengths = read_lengths
+        self.read_names = read_names
+
+    @classmethod
+    def create_index(cls, parser: FastaParser, first_read: int,
+                     past_last_read: int, cfg: MapperConfig) -> "Index":
+        seqs = [parser.get_sequence_by_id(i).seq
+                for i in range(first_read, past_last_read)]
+        names = [parser.get_sequence_by_id(i).name
+                 for i in range(first_read, past_last_read)]
+        k, w = cfg.kmer_size, cfg.window_size
+        # pow2 shape buckets: one XLA executable serves many batch sizes
+        Lmax = max(max((len(s) for s in seqs), default=k), k) + 1
+        L = max(64, 1 << (Lmax - 1).bit_length())
+        B0 = len(seqs)
+        B = max(8, 1 << (B0 - 1).bit_length())
+        reads = np.full((B, L), -1, dtype=np.int8)
+        lens = np.zeros(B, dtype=np.int32)
+        for i, s in enumerate(seqs):
+            reads[i, : len(s)] = encode(s)
+            lens[i] = len(s)
+        with trace_range("mapper.sketch"):
+            rep, dirs, is_min = sketch.sketch_batch(
+                jnp.asarray(reads), jnp.asarray(lens), k, w,
+                cfg.hash_representations)
+        frac = Fraction(cfg.filtering_parameter).limit_denominator(10**6)
+        with trace_range("mapper.index_sort"):
+            arrays = map_ops.build_index(
+                rep, dirs, is_min, jnp.int32(first_read),
+                filter_thr_num=frac.numerator, filter_thr_den=frac.denominator)
+        arrays = {k2: np.asarray(v) for k2, v in arrays.items()}
+        return cls(arrays, first_read, [len(s) for s in seqs], names)
+
+    # --- reference-parity array views ------------------------------------
+    @property
+    def n_elems(self) -> int:
+        return int(self._arrays["n_elems"])
+
+    def representations(self) -> np.ndarray:
+        return self._arrays["rep"][: self.n_elems]
+
+    def read_ids(self) -> np.ndarray:
+        return self._arrays["read_id"][: self.n_elems]
+
+    def positions_in_reads(self) -> np.ndarray:
+        return self._arrays["pos"][: self.n_elems]
+
+    def directions_of_reads(self) -> np.ndarray:
+        return self._arrays["dir"][: self.n_elems]
+
+    def unique_representations(self) -> np.ndarray:
+        return np.unique(self.representations())
+
+    def first_occurrence_of_representations(self) -> np.ndarray:
+        _, first = np.unique(self.representations(), return_index=True)
+        return np.sort(first)
+
+    def number_of_reads(self) -> int:
+        return len(self.read_lengths)
+
+
+class IndexCache:
+    """Host-side index cache (reference: src/index_cache.cpp,
+    index_host_copy.cu [U]) — avoids re-sketching a read range reused across
+    (query batch x target batch) pairs."""
+
+    def __init__(self, max_entries: int = 64):
+        self._cache: dict[tuple, Index] = {}
+        self._order: list[tuple] = []
+        self._max = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_create(self, parser, first: int, past_last: int,
+                      cfg: MapperConfig) -> Index:
+        key = (id(parser), first, past_last, cfg.kmer_size, cfg.window_size,
+               cfg.hash_representations, cfg.filtering_parameter)
+        if key in self._cache:
+            self.hits += 1
+            return self._cache[key]
+        self.misses += 1
+        idx = Index.create_index(parser, first, past_last, cfg)
+        if len(self._order) >= self._max:
+            old = self._order.pop(0)
+            self._cache.pop(old, None)
+        self._cache[key] = idx
+        self._order.append(key)
+        return idx
+
+
+class Matcher:
+    """Anchor generation between two indices (reference: Matcher [U])."""
+
+    def __init__(self, anchors: dict, n_anchors: int, overflow: bool):
+        self._anchors = anchors
+        self.n_anchors = n_anchors
+        self.overflow = overflow
+        self.status = (StatusType.EXCEEDED_MAX_ANCHORS if overflow
+                       else StatusType.SUCCESS)
+
+    @classmethod
+    def create_matcher(cls, query_index: Index, target_index: Index,
+                       cfg: MapperConfig, cap: int | None = None) -> "Matcher":
+        if cap is None:
+            cap = round_up(
+                max(query_index._arrays["rep"].shape[0] * 4, 1024), 128)
+        with trace_range("mapper.match"):
+            anchors, total, overflow = map_ops.match_anchors(
+                {k: jnp.asarray(v) for k, v in query_index._arrays.items()},
+                {k: jnp.asarray(v) for k, v in target_index._arrays.items()},
+                cap=cap, skip_self=cfg.skip_self_mappings)
+        return cls({k: np.asarray(v) for k, v in anchors.items()},
+                   int(total), bool(overflow))
+
+    def anchors(self) -> dict:
+        return self._anchors
+
+
+class Overlapper:
+    """Triggered chaining + filters (reference: OverlapperTriggered [U])."""
+
+    @staticmethod
+    def get_overlaps(anchors: dict, cfg: MapperConfig) -> list[Overlap]:
+        frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
+        with trace_range("mapper.chain"):
+            out = map_ops.chain_anchors(
+                {k: jnp.asarray(v) for k, v in anchors.items()},
+                k=cfg.kmer_size, min_residues=cfg.min_residues,
+                min_overlap_len=cfg.min_overlap_len,
+                min_bases_per_residue=cfg.min_bases_per_residue,
+                min_overlap_fraction_num=frac.numerator,
+                min_overlap_fraction_den=frac.denominator,
+                max_gap=cfg.max_anchor_gap)
+        out = {k: np.asarray(v) for k, v in out.items()}
+        sel = np.nonzero(out["valid"])[0]
+        overlaps = [Overlap(
+            int(out["q_read"][i]), int(out["t_read"][i]),
+            int(out["q_start"][i]), int(out["q_end"][i]),
+            int(out["t_start"][i]), int(out["t_end"][i]),
+            int(out["n_res"][i]), "+" if out["dir"][i] == 0 else "-")
+            for i in sel]
+        overlaps.sort(key=lambda o: o.key())
+        return overlaps
+
+
+@dataclass
+class MapResult:
+    overlaps: list[Overlap]
+    statuses: list[StatusType]
+    cache_hits: int = 0
+    cache_misses: int = 0
+
+
+def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
+                   max_anchors: int = 1 << 20) -> MapResult:
+    """The cudamapper CLI main loop (reference: cudamapper/src/main.cpp [U]):
+    chunk reads by the index-size budget, loop (query batch x target batch)
+    pairs through Index -> Matcher -> Overlapper, merge deterministically."""
+    chunks = parser.get_chunks(cfg.index_size_mb * 1_000_000)
+    cache = IndexCache()
+    all_overlaps: list[Overlap] = []
+    statuses: list[StatusType] = []
+    for (qf, ql) in chunks:
+        qidx = cache.get_or_create(parser, qf, ql, cfg)
+        for (tf, tl) in chunks:
+            tidx = cache.get_or_create(parser, tf, tl, cfg)
+            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors)
+            statuses.append(matcher.status)
+            all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(), cfg))
+    all_overlaps.sort(key=lambda o: o.key())
+    return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
+
+
+def overlaps_to_paf(overlaps: list[Overlap], parser: FastaParser) -> list[str]:
+    rows = []
+    for o in overlaps:
+        q = parser.get_sequence_by_id(o.query_read_id)
+        t = parser.get_sequence_by_id(o.target_read_id)
+        rows.append(format_paf_row(o, q.name, len(q.seq), t.name, len(t.seq)))
+    return rows

@@ -1,0 +1,166 @@
+"""Index build, anchor matching, and triggered chaining on device.
+
+TPU-native redesign of (reference: cudamapper/src/index_gpu.cuh [thrust radix
+sort + RLE], matcher_gpu.cu [lower_bound + scan + expand kernels],
+overlapper_triggered.cu [cub sort + chain scan] [U]):
+
+- index build: ONE lax.sort over (rep, read_id, pos) key operands (INVALID
+  reps sort to the back); per-element occurrence counts come from two
+  searchsorteds on the sorted rep array (no segment capacity needed);
+  frequency filtering marks reps INVALID and stably re-sorts.
+- matching: searchsorted(target_reps, query_reps) left/right gives each query
+  element its target range; the anchor expansion uses the classic
+  exclusive-scan + searchsorted-over-cumsum trick into a static capacity
+  (cap + count + overflow flag — the XLA answer to dynamic output sizes).
+- chaining: one fused lexicographic sort (validity, q_id, t_id, strand,
+  q_pos, strand-adjusted t_pos), chain-break flags, and run aggregation via
+  cummax of chain-start indices — overlap records are emitted at chain ends.
+
+Everything static-shape; dynamic sizes are (count, overflow) pairs.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .sketch import INVALID
+
+I32MAX = jnp.int32(2**31 - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("filter_thr_num",
+                                             "filter_thr_den"))
+def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
+                filter_thr_num: int = 1, filter_thr_den: int = 1):
+    """Flatten + sort sketch elements.  Returns dict of (C,) arrays sorted by
+    (rep, read_id, pos) with INVALID-rep padding, plus n_elems.
+
+    filter_thr_num/den encode filtering_parameter as a rational so the jit
+    key stays hashable; reps with count > (num/den) * n_elems are dropped
+    (den == num == 1 disables filtering).
+    """
+    B, Lk = rep.shape
+    C = B * Lk
+    rid = (first_read_id + jnp.arange(B, dtype=jnp.int32))[:, None]
+    rid = jnp.broadcast_to(rid, (B, Lk)).reshape(-1)
+    pos = jnp.broadcast_to(jnp.arange(Lk, dtype=jnp.int32)[None, :],
+                           (B, Lk)).reshape(-1)
+    flat_rep = jnp.where(is_min, rep, INVALID).reshape(-1)
+    flat_dir = dirs.reshape(-1)
+
+    srep, srid, spos, sdir = jax.lax.sort(
+        (flat_rep, rid, pos, flat_dir), num_keys=3, is_stable=True)
+    n_elems = jnp.sum(is_min).astype(jnp.int32)
+
+    if not (filter_thr_num == 1 and filter_thr_den == 1):
+        lo = jnp.searchsorted(srep, srep, side="left")
+        hi = jnp.searchsorted(srep, srep, side="right")
+        cnt = (hi - lo).astype(jnp.int32)
+        keep = (cnt * filter_thr_den <= n_elems * filter_thr_num) & \
+               (srep != INVALID)
+        srep = jnp.where(keep, srep, INVALID)
+        srep, srid, spos, sdir = jax.lax.sort(
+            (srep, srid, spos, sdir), num_keys=3, is_stable=True)
+        n_elems = jnp.sum(keep).astype(jnp.int32)
+
+    return {"rep": srep, "read_id": srid, "pos": spos, "dir": sdir,
+            "n_elems": n_elems}
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "skip_self"))
+def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
+    """Cross-product anchors for matching representations.
+
+    Returns dict of (cap,) anchor arrays + n_anchors + overflow flag.
+    Anchor order: by (query element order, target occurrence order) — i.e.
+    (q_rep, q_read, q_pos, t_read, t_pos), matching the oracle.
+    """
+    qrep = qidx["rep"]
+    trep = tidx["rep"]
+    lo = jnp.searchsorted(trep, qrep, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(trep, qrep, side="right").astype(jnp.int32)
+    cnt = jnp.where(qrep != INVALID, hi - lo, 0).astype(jnp.int32)
+    if skip_self:
+        # self-pairs are dropped per-anchor below; counts still include them,
+        # so capacity accounting is conservative (matches reference order)
+        pass
+    cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                           jnp.cumsum(cnt).astype(jnp.int32)])
+    total = cum[-1]
+    a = jnp.arange(cap, dtype=jnp.int32)
+    src = jnp.searchsorted(cum, a, side="right").astype(jnp.int32) - 1
+    src = jnp.clip(src, 0, qrep.shape[0] - 1)
+    off = a - cum[src]
+    tsel = jnp.clip(lo[src] + off, 0, trep.shape[0] - 1)
+    valid = a < jnp.minimum(total, cap)
+
+    q_read = qidx["read_id"][src]
+    t_read = tidx["read_id"][tsel]
+    if skip_self:
+        valid &= q_read != t_read
+    anchors = {
+        "q_read": q_read, "t_read": t_read,
+        "q_pos": qidx["pos"][src], "t_pos": tidx["pos"][tsel],
+        "dir": (qidx["dir"][src] ^ tidx["dir"][tsel]).astype(jnp.int32),
+        "valid": valid,
+    }
+    return anchors, total, total > cap
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "k", "min_residues", "min_overlap_len", "min_bases_per_residue",
+    "min_overlap_fraction_num", "min_overlap_fraction_den", "max_gap"))
+def chain_anchors(anchors: dict, k: int, min_residues: int,
+                  min_overlap_len: int, min_bases_per_residue: int,
+                  min_overlap_fraction_num: int,
+                  min_overlap_fraction_den: int, max_gap: int):
+    """Triggered chaining.  Returns dict of (cap,) overlap field arrays with
+    a validity mask (compaction happens on host where the list is small)."""
+    v = anchors["valid"]
+    qid = jnp.where(v, anchors["q_read"], I32MAX)
+    tid = jnp.where(v, anchors["t_read"], I32MAX)
+    d = jnp.where(v, anchors["dir"], I32MAX)
+    qp = jnp.where(v, anchors["q_pos"], I32MAX)
+    st = jnp.where(anchors["dir"] == 0, anchors["t_pos"], -anchors["t_pos"])
+    st = jnp.where(v, st, I32MAX)
+    tp = anchors["t_pos"]
+
+    qid, tid, d, qp, st, tp, v = jax.lax.sort(
+        (qid, tid, d, qp, st, tp, v.astype(jnp.int32)), num_keys=5,
+        is_stable=True)
+    v = v.astype(bool)
+    C = qid.shape[0]
+    idx = jnp.arange(C, dtype=jnp.int32)
+
+    prev = lambda x: jnp.concatenate([x[:1], x[:-1]])  # noqa: E731
+    same = ((qid == prev(qid)) & (tid == prev(tid)) & (d == prev(d))
+            & (idx > 0))
+    dq = qp - prev(qp)
+    dst = st - prev(st)
+    cont = same & (dq > 0) & (dq <= max_gap) & (dst > 0) & (dst <= max_gap)
+    new_chain = ~cont
+    start_idx = jax.lax.cummax(jnp.where(new_chain, idx, 0))
+    nxt_new = jnp.concatenate([new_chain[1:], jnp.array([True])])
+    is_end = nxt_new & v
+
+    s = jnp.clip(start_idx, 0, C - 1)
+    n_res = idx - s + 1
+    q0 = qp[s]
+    q1 = qp + k
+    t_first = tp[s]
+    t0 = jnp.where(d == 0, t_first, tp)
+    t1 = jnp.where(d == 0, tp, t_first) + k
+    qspan = q1 - q0
+    tspan = t1 - t0
+    olen = jnp.maximum(qspan, tspan)
+    ok = (is_end
+          & (n_res >= min_residues)
+          & (olen >= min_overlap_len)
+          & (olen <= min_bases_per_residue * n_res)
+          & (jnp.minimum(qspan, tspan) * min_overlap_fraction_den
+             >= min_overlap_fraction_num * jnp.maximum(qspan, tspan)))
+    return {"q_read": qid, "t_read": tid, "q_start": q0, "q_end": q1,
+            "t_start": t0, "t_end": t1, "n_res": n_res, "dir": d,
+            "valid": ok}

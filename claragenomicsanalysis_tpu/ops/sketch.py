@@ -1,0 +1,90 @@
+"""Minimizer sketching on device (reference: cudamapper/src/minimizer.cu [U]).
+
+The CUDA version assigns thread blocks per read and walks windows; the TPU
+version computes, for the whole (B, L) read batch at once:
+
+- packed forward / reverse-complement k-mer reps via k static shifted slices;
+- central minimizers via the closed form  rep[p] == max over the w window
+  minima that contain p  (max == exists, since every containing window's min
+  is <= rep[p]);
+- prefix/suffix end-minimizers via running minima (lax cummin), which are
+  exact because positions past each read's end hold the INVALID sentinel.
+
+Semantics defined (and tested bit-identical) against cpu/mapper_oracle.py.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INVALID = jnp.uint32(0xFFFFFFFF)
+
+
+def murmur32(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.uint32)
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "hash_reps"))
+def sketch_batch(reads: jnp.ndarray, lens: jnp.ndarray, k: int, w: int,
+                 hash_reps: bool = True):
+    """Returns (rep (B, Lk) uint32 with INVALID at non-kmers, dirs (B, Lk)
+    int32, is_min (B, Lk) bool).  Lk = L - k + 1."""
+    B, L = reads.shape
+    Lk = L - k + 1
+    assert Lk >= 1, "reads shorter than k"
+    codes = reads.astype(jnp.int32)
+    lens = lens.astype(jnp.int32)
+
+    f = jnp.zeros((B, Lk), jnp.uint32)
+    r = jnp.zeros((B, Lk), jnp.uint32)
+    valid = jnp.ones((B, Lk), bool)
+    for i in range(k):
+        c = jax.lax.dynamic_slice_in_dim(codes, i, Lk, axis=1)
+        valid &= c >= 0
+        cpos = jnp.maximum(c, 0).astype(jnp.uint32)
+        f |= cpos << (2 * (k - 1 - i))
+        r |= (3 - cpos) << (2 * i)
+
+    pos = jnp.arange(Lk, dtype=jnp.int32)[None, :]
+    n = (lens - k + 1)[:, None]                   # kmers per read
+    valid &= pos < n
+
+    c = jnp.minimum(f, r)
+    dirs = (f > r).astype(jnp.int32)
+    rep = murmur32(c) if hash_reps else c
+    rep = jnp.where(valid, rep, INVALID)
+
+    # central minimizers
+    if Lk >= w:
+        wm = rep
+        for s in range(1, w):                     # window minima (start at i)
+            shifted = jnp.concatenate(
+                [rep[:, s:], jnp.full((B, s), INVALID)], axis=1)
+            wm = jnp.minimum(wm, shifted)
+        # wm[i] valid iff 0 <= i <= n - w
+        wm_ok = pos <= n - w
+        wm_m = jnp.where(wm_ok, wm, 0)            # identity for unsigned max
+        cmax = wm_m
+        for s in range(1, w):                     # max over i in [p-w+1, p]
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, s), jnp.uint32), wm_m[:, :-s]], axis=1)
+            cmax = jnp.maximum(cmax, shifted)
+        central = (rep == cmax) & (n >= w)
+    else:
+        central = jnp.zeros((B, Lk), bool)
+
+    cmin = jax.lax.cummin(rep, axis=1)
+    rmin = jax.lax.cummin(rep[:, ::-1], axis=1)[:, ::-1]
+    pre = (rep == cmin) & (pos <= w - 2)
+    suf = (rep == rmin) & (pos >= n - w + 1)
+
+    is_min = valid & (central | pre | suf)
+    return rep, dirs, is_min

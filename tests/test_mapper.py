@@ -1,0 +1,133 @@
+"""Mapper tests: device sketch/index/match/chain vs the CPU oracle, and the
+all-vs-all driver end to end on simulated reads."""
+
+import numpy as np
+import pytest
+
+from claragenomicsanalysis_tpu.core.config import MapperConfig
+from claragenomicsanalysis_tpu.cpu import mapper_oracle as oracle
+from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+from claragenomicsanalysis_tpu.models.mapper import (Index, Matcher,
+                                                     Overlapper,
+                                                     map_all_vs_all,
+                                                     overlaps_to_paf)
+from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                  PoissonGenomeSimulator)
+from claragenomicsanalysis_tpu.utils.genomeutils import reverse_complement
+
+CFG = MapperConfig(kmer_size=7, window_size=4, min_residues=3,
+                   min_overlap_len=30, min_overlap_fraction=0.5,
+                   min_bases_per_residue=1000)
+
+
+def _parser(seqs):
+    return FastaParser("<mem>", records=[
+        FastaSequence(f"r{i}", s) for i, s in enumerate(seqs)])
+
+
+def _sim_reads(rng, n=8, glen=800, rlen=200):
+    genome = PoissonGenomeSimulator(seed=7).build_reference(glen)
+    sim = NoisyReadSimulator(seed=7, error_rate=0.02)
+    return [r.seq for r in sim.generate_reads(genome, n, rlen)]
+
+
+def test_sketch_matches_oracle(rng):
+    seqs = _sim_reads(rng) + ["ACGTACGTAC", "A" * 20, "ACGTNNNACGTACGTA"]
+    for cfg in (CFG, MapperConfig(kmer_size=5, window_size=1),
+                MapperConfig(kmer_size=15, window_size=10,
+                             hash_representations=False)):
+        idx = Index.create_index(_parser(seqs), 0, len(seqs), cfg)
+        o_idx = oracle.IndexOracle(seqs, 0, cfg)
+        np.testing.assert_array_equal(idx.representations(),
+                                      o_idx.representations())
+        np.testing.assert_array_equal(
+            idx.read_ids(), [e.read_id for e in o_idx.elements])
+        np.testing.assert_array_equal(
+            idx.positions_in_reads(),
+            [e.position_in_read for e in o_idx.elements])
+        np.testing.assert_array_equal(
+            idx.directions_of_reads(),
+            [e.direction for e in o_idx.elements])
+
+
+def test_filtering_matches_oracle(rng):
+    seqs = ["ACGTACGTACGTACGTACGT" * 3, "ACGTACGTACGTACGTACGT" * 3, "TTGGCCAATTGGCCAA"]
+    cfg = MapperConfig(kmer_size=5, window_size=2, filtering_parameter=0.05)
+    idx = Index.create_index(_parser(seqs), 0, len(seqs), cfg)
+    o_idx = oracle.IndexOracle(seqs, 0, cfg)
+    np.testing.assert_array_equal(idx.representations(),
+                                  o_idx.representations())
+
+
+def test_anchors_match_oracle(rng):
+    seqs = _sim_reads(rng)
+    p = _parser(seqs)
+    idx = Index.create_index(p, 0, len(seqs), CFG)
+    o_idx = oracle.IndexOracle(seqs, 0, CFG)
+    m = Matcher.create_matcher(idx, idx, CFG)
+    o_anch = oracle.match_anchors(o_idx, o_idx, skip_self=True)
+    a = m.anchors()
+    sel = np.nonzero(a["valid"])[0]
+    got = sorted(zip(a["q_read"][sel], a["t_read"][sel],
+                     a["q_pos"][sel], a["t_pos"][sel], a["dir"][sel]))
+    want = sorted((x.query_read_id, x.target_read_id,
+                   x.query_position_in_read, x.target_position_in_read,
+                   x.direction) for x in o_anch)
+    assert got == want
+
+
+def test_overlaps_match_oracle(rng):
+    seqs = _sim_reads(rng, n=10)
+    result = map_all_vs_all(_parser(seqs), CFG)
+    o_over = oracle.map_all_vs_all(seqs, CFG)
+    got = [(o.query_read_id, o.target_read_id, o.relative_strand,
+            o.query_start_position_in_read, o.query_end_position_in_read,
+            o.target_start_position_in_read, o.target_end_position_in_read,
+            o.num_residues) for o in result.overlaps]
+    want = [(o.query_read_id, o.target_read_id, o.relative_strand,
+             o.query_start_position_in_read, o.query_end_position_in_read,
+             o.target_start_position_in_read, o.target_end_position_in_read,
+             o.num_residues) for o in o_over]
+    assert got == want
+    assert len(got) > 0  # overlapping simulated reads must be found
+
+
+def test_reverse_strand_overlap(rng):
+    genome = PoissonGenomeSimulator(seed=9).build_reference(300)
+    a = genome[:200]
+    b = reverse_complement(genome[100:300])
+    result = map_all_vs_all(_parser([a, b]), CFG)
+    strands = {o.relative_strand for o in result.overlaps}
+    assert "-" in strands
+    o_over = oracle.map_all_vs_all([a, b], CFG)
+    assert len(result.overlaps) == len(o_over)
+
+
+def test_chunked_equals_unchunked(rng):
+    seqs = _sim_reads(rng, n=8)
+    p = _parser(seqs)
+    small = MapperConfig(**{**CFG.__dict__, "index_size_mb": 1})
+    # force many chunks by shrinking budget below: monkey the chunking
+    res_one = map_all_vs_all(p, CFG)
+    # chunk budget of ~400 bases -> multiple index batches
+    chunks_cfg = MapperConfig(kmer_size=7, window_size=4, min_residues=3,
+                              min_overlap_len=30, min_overlap_fraction=0.5,
+                              min_bases_per_residue=1000, index_size_mb=0)
+    # index_size_mb=0 -> each read its own chunk (get_chunks min 1 read)
+    res_many = map_all_vs_all(p, chunks_cfg)
+    key = lambda o: o.key()  # noqa: E731
+    assert [key(o) for o in res_one.overlaps] == [key(o) for o in res_many.overlaps]
+    assert res_many.cache_hits > 0  # target indices reused across q batches
+
+
+def test_paf_output(rng):
+    seqs = _sim_reads(rng, n=6)
+    p = _parser(seqs)
+    res = map_all_vs_all(p, CFG)
+    rows = overlaps_to_paf(res.overlaps, p)
+    assert len(rows) == len(res.overlaps)
+    for row in rows:
+        cols = row.split("\t")
+        assert len(cols) == 12
+        assert cols[4] in "+-"
+        assert int(cols[9]) >= CFG.min_residues
