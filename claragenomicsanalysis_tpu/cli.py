@@ -1,0 +1,170 @@
+"""Command-line interface: align | poa | map | pipeline.
+
+The subcommands are the sample-app analogs of the reference
+(reference: cudaaligner/samples/sample_cudaaligner.cpp,
+cudapoa/samples/sample_cudapoa.cpp, cudamapper/src/main.cpp [U]).
+Run as ``python -m claragenomicsanalysis_tpu.cli <subcommand> ...``.
+"""
+
+import argparse
+import json
+import sys
+
+from .core.config import BatchSize, MapperConfig, PipelineConfig
+from .core.status import OutputType, StatusType
+from .utils.logging import initialize_logger
+from .utils.profiling import stage_timings
+
+
+def _add_mapper_flags(p):
+    p.add_argument("-k", "--kmer-size", type=int, default=15)
+    p.add_argument("-w", "--window-size", type=int, default=15)
+    p.add_argument("-F", "--filtering-parameter", type=float, default=1.0)
+    p.add_argument("-i", "--index-size", type=int, default=30,
+                   help="index batch budget, MB of bases")
+    p.add_argument("--min-residues", type=int, default=4)
+    p.add_argument("--min-overlap-len", type=int, default=50)
+    p.add_argument("--min-overlap-fraction", type=float, default=0.8)
+    p.add_argument("--min-bases-per-residue", type=int, default=100)
+    p.add_argument("--max-anchor-gap", type=int, default=5000)
+    p.add_argument("--no-hashing", action="store_true")
+
+
+def _mapper_cfg(args) -> MapperConfig:
+    return MapperConfig(
+        kmer_size=args.kmer_size, window_size=args.window_size,
+        hash_representations=not args.no_hashing,
+        filtering_parameter=args.filtering_parameter,
+        min_residues=args.min_residues,
+        min_overlap_len=args.min_overlap_len,
+        min_overlap_fraction=args.min_overlap_fraction,
+        min_bases_per_residue=args.min_bases_per_residue,
+        max_anchor_gap=args.max_anchor_gap,
+        index_size_mb=args.index_size)
+
+
+def cmd_align(args) -> int:
+    from .io.fasta import create_fasta_parser
+    from .models.aligner import create_aligner
+    qp = create_fasta_parser(args.queries)
+    tp = create_fasta_parser(args.targets)
+    n = min(qp.get_num_sequences(), tp.get_num_sequences())
+    max_q = max(len(qp.get_sequence_by_id(i).seq) for i in range(n))
+    max_t = max(len(tp.get_sequence_by_id(i).seq) for i in range(n))
+    aligner = create_aligner(max_q, max_t, n, band_radius=args.band_radius,
+                             algorithm=args.algorithm)
+    for i in range(n):
+        aligner.add_alignment(qp.get_sequence_by_id(i).seq,
+                              tp.get_sequence_by_id(i).seq)
+    for i, a in enumerate(aligner.get_alignments()):
+        if a.status == StatusType.SUCCESS:
+            print(f"{qp.get_sequence_by_id(i).name}\t"
+                  f"{tp.get_sequence_by_id(i).name}\t{a.edit_distance}\t"
+                  f"{a.convert_to_cigar()}")
+            if args.print_alignments:
+                print(a.format_alignment())
+        else:
+            print(f"{qp.get_sequence_by_id(i).name}\t"
+                  f"{tp.get_sequence_by_id(i).name}\t-1\t*\t{a.status.name}")
+    return 0
+
+
+def cmd_poa(args) -> int:
+    from .io.windows import read_windows
+    from .models.poa import create_batch
+    windows = read_windows(args.windows, max_windows=args.max_windows or None)
+    max_len = max((len(s) for w in windows for s in w), default=1)
+    max_seqs = max((len(w) for w in windows), default=1)
+    bs = BatchSize(max_sequence_size=max(64, max_len),
+                   max_sequences_per_poa=max(2, max_seqs))
+    mask = OutputType.CONSENSUS | (OutputType.MSA if args.msa else 0)
+    batch = create_batch(batch_size=bs, output_mask=mask,
+                         max_poas=len(windows))
+    for w in windows:
+        batch.add_poa_group(w)
+    cons, covs, stats = batch.get_consensus()
+    for i, (c, st) in enumerate(zip(cons, stats)):
+        if st == StatusType.SUCCESS:
+            print(c)
+        else:
+            print(f"*\t{st.name}")
+    if args.msa:
+        msas, _ = batch.get_msa()
+        for i, m in enumerate(msas):
+            print(f"> window {i}")
+            for row in m:
+                print(row)
+    return 0
+
+
+def cmd_map(args) -> int:
+    from .io.fasta import create_fasta_parser
+    from .models.mapper import map_all_vs_all, overlaps_to_paf
+    parser = create_fasta_parser(args.input)
+    res = map_all_vs_all(parser, _mapper_cfg(args))
+    for row in overlaps_to_paf(res.overlaps, parser):
+        print(row)
+    bad = [s for s in res.statuses if s != StatusType.SUCCESS]
+    if bad:
+        print(f"warning: {len(bad)} batch(es) overflowed anchors",
+              file=sys.stderr)
+    return 0
+
+
+def cmd_pipeline(args) -> int:
+    from .io.fasta import create_fasta_parser
+    from .models.pipeline import run_pipeline
+    parser = create_fasta_parser(args.input)
+    cfg = PipelineConfig(mapper=_mapper_cfg(args),
+                         aligner_band_radius=args.band_radius)
+    res = run_pipeline(parser, cfg)
+    for row in res.paf_rows:
+        print(row)
+    print(f"aligned {res.n_aligned} overlaps ({res.n_align_failed} failed)",
+          file=sys.stderr)
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="claragenomicsanalysis_tpu")
+    ap.add_argument("--log-level", default="INFO")
+    ap.add_argument("--timings", action="store_true",
+                    help="print per-stage timing JSON to stderr at exit")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="batched pairwise global alignment")
+    a.add_argument("queries")
+    a.add_argument("targets")
+    a.add_argument("--band-radius", type=int, default=64)
+    a.add_argument("--algorithm", default="ukkonen",
+                   choices=["ukkonen", "myers", "hirschberg-myers"])
+    a.add_argument("--print-alignments", action="store_true")
+    a.set_defaults(fn=cmd_align)
+
+    p = sub.add_parser("poa", help="POA consensus over window file")
+    p.add_argument("windows")
+    p.add_argument("--msa", action="store_true")
+    p.add_argument("--max-windows", type=int, default=0)
+    p.set_defaults(fn=cmd_poa)
+
+    m = sub.add_parser("map", help="all-vs-all overlap, PAF to stdout")
+    m.add_argument("input")
+    _add_mapper_flags(m)
+    m.set_defaults(fn=cmd_map)
+
+    pl = sub.add_parser("pipeline", help="map + align, PAF with CIGARs")
+    pl.add_argument("input")
+    _add_mapper_flags(pl)
+    pl.add_argument("--band-radius", type=int, default=256)
+    pl.set_defaults(fn=cmd_pipeline)
+
+    args = ap.parse_args(argv)
+    initialize_logger(args.log_level)
+    rc = args.fn(args)
+    if args.timings:
+        print(json.dumps(stage_timings()), file=sys.stderr)
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())
