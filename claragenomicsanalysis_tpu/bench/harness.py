@@ -47,8 +47,13 @@ def dispatch_latency(samples: int = 5) -> float:
 
 
 def time_scanned(fn, datasets: list[tuple], warmup: bool = True,
-                 repeats: int = 3) -> float:
-    """Seconds per iteration of fn over K stacked datasets (see module doc)."""
+                 repeats: int = 3, loops: int = 1) -> float:
+    """Seconds per iteration of fn over K stacked datasets (see module doc).
+
+    `loops` re-runs the whole dataset cycle inside the SAME dispatch (total
+    steps = K * loops), so device compute can be scaled to dominate the
+    ~30 ms +/- 10 ms tunnel latency without shipping more input data.
+    """
     K = len(datasets)
 
     def stack(ds):
@@ -60,11 +65,18 @@ def time_scanned(fn, datasets: list[tuple], warmup: bool = True,
 
     @jax.jit
     def run(stacked, salt):
-        def step(carry, xs):
-            return carry, fn(*xs)
-        _, ys = jax.lax.scan(step, 0, stacked)
-        leaves = jax.tree_util.tree_leaves(ys)
-        return sum(jnp.sum(l.astype(jnp.int32)) for l in leaves) + salt
+        idxs = jnp.arange(K * loops, dtype=jnp.int32) % K
+
+        def step(carry, i):
+            xs = tuple(jax.lax.dynamic_index_in_dim(s, i, keepdims=False)
+                       for s in stacked)
+            out = fn(*xs)
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.int32)) for l in leaves)
+            return carry + s, ()      # carried sum forces step ordering
+
+        total, _ = jax.lax.scan(step, salt, idxs)
+        return total
 
     if warmup:
         np.asarray(run(stacked_warm, jnp.int32(0)))
@@ -74,7 +86,7 @@ def time_scanned(fn, datasets: list[tuple], warmup: bool = True,
         t0 = time.perf_counter()
         np.asarray(run(stacked, jnp.int32(rep + 1)))
         best = min(best, time.perf_counter() - t0)
-    return max(best - dispatch_latency(), 1e-9) / K
+    return max(best - dispatch_latency(), 1e-9) / (K * loops)
 
 
 def bench_result(metric: str, value: float, unit: str,

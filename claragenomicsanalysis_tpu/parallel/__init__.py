@@ -1,0 +1,17 @@
+"""Distribution layer — NEW capability relative to the reference (which has
+no distributed backend; its multi-GPU story is one host thread per device,
+SURVEY.md §2.7).  Mesh axes:
+
+- ``data``: read-batch / problem-batch data parallelism (pure DP; merging is
+  concatenation, bit-identical by construction),
+- ``rep``: minimizer-index sharding by sorted representation blocks (the
+  lookup-table TP analog),
+- ``sp``: reserved for ring-wavefront sequence parallelism (extreme lengths).
+"""
+
+from .mesh import make_mesh, local_device_count
+from .shard import (sharded_banded_nw, sharded_match_chain, sharded_poa)
+from .manifest import map_all_vs_all_resumable
+
+__all__ = ["make_mesh", "local_device_count", "sharded_banded_nw",
+           "sharded_match_chain", "sharded_poa", "map_all_vs_all_resumable"]

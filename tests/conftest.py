@@ -5,13 +5,18 @@ exercised without TPU hardware (SURVEY.md §4.5)."""
 import os
 
 # Must be set before jax import anywhere in the test process.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# The axon sitecustomize registers the remote-TPU platform and pins
+# jax_platforms=axon at interpreter start; the env var alone cannot override
+# it, but the config update after import can.  Tests run on the local CPU
+# backend with 8 fake devices.
+jax.config.update("jax_platforms", "cpu")
 
 # XLA compilation in this sandbox is slow (~tens of seconds per executable);
 # the persistent cache makes re-runs fast.
