@@ -1,0 +1,8 @@
+#!/bin/sh
+# Build the native components into claragenomicsanalysis_tpu/io/_native/.
+set -e
+cd "$(dirname "$0")"
+OUT=../claragenomicsanalysis_tpu/io/_native
+mkdir -p "$OUT"
+g++ -O3 -std=c++17 -shared -fPIC fasta_parser.cpp -lz -o "$OUT/libfasta.so"
+echo "built $OUT/libfasta.so"
