@@ -33,6 +33,7 @@ class StatusType(enum.IntEnum):
     SEQ_LEN_EXCEEDED_MAXIMUM_NODES = 25
     LOOP_COUNT_EXCEEDED_UPPER_BOUND = 26
     OUTPUT_TYPE_UNAVAILABLE = 27
+    EXCEEDED_BAND_WIDTH = 28  # banded graph-NW: no global path inside band
     # mapper
     EXCEEDED_MAX_ANCHORS = 30
     EXCEEDED_MAX_OVERLAPS = 31

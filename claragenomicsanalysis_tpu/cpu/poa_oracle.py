@@ -34,6 +34,13 @@ must match these bit-for-bit):
 7.  **MSA columns**: aligned cliques share a column; column(group) =
     1 + max over preds of all group members of column(pred), assigned in top
     order; rows emitted by replaying each read's stored node path.
+8.  **Static banding** (reference: cudapoa_nw_banded.cuh [U]; exact banding
+    rule is OURS, documented here): with ``banded=True`` the NW of rule 2 only
+    computes columns j with |j - c(r)| <= band_width // 2, where
+    c(r) = ((r + 1) * L) // (node_count + 1) for the row of topological rank
+    r; out-of-band cells are NEG.  If the best in-band sink score at column L
+    is <= NEG/2 there is no global path inside the band: the window gets
+    StatusType.EXCEEDED_BAND_WIDTH and keeps its last consistent state.
 
 Static limits (BatchSize) are enforced IDENTICALLY to the device version:
 exceeding max nodes / preds / aligned-links yields the corresponding
@@ -59,6 +66,7 @@ class PoaGraph:
 
     batch_size: BatchSize = field(default_factory=BatchSize)
     scores: PoaScores = field(default_factory=PoaScores)
+    banded: bool = False
     node_base: list[int] = field(default_factory=list)
     node_coverage: list[int] = field(default_factory=list)
     preds: list[list[int]] = field(default_factory=list)        # sorted asc
@@ -144,23 +152,29 @@ class PoaGraph:
         # S[r+1][j]: score at node order[r], seq prefix j. Row 0 = virtual src.
         S = np.full((self.node_count + 1, L + 1), NEG, dtype=np.int64)
         S[0, :] = np.arange(L + 1, dtype=np.int64) * sc.gap_score
+        hw = self.batch_size.band_width // 2 if self.banded else L + 1
         for r, u in enumerate(order):
             prows = [S[rank[p] + 1] for p in self.preds[u]] or [S[0]]
             pmax = np.max(np.stack(prows), axis=0)
             sarr = np.array(seq)
             sub = np.where((sarr == self.node_base[u]) & (sarr >= 0),
                            sc.match_score, sc.mismatch_score)
+            c = ((r + 1) * L) // (self.node_count + 1)
+            lo, hi = max(0, c - hw), min(L, c + hw)
             row = S[r + 1]
-            row[0] = pmax[0] + sc.gap_score
+            if lo == 0:
+                row[0] = pmax[0] + sc.gap_score
             diag_vert = np.maximum(pmax[:-1] + sub, pmax[1:] + sc.gap_score)
             # horizontal chain: running max against row[j-1] + gap
-            for j in range(1, L + 1):
+            for j in range(max(1, lo), hi + 1):
                 row[j] = max(diag_vert[j - 1], row[j - 1] + sc.gap_score)
         # end cell: best sink at column L; tie -> smallest rank
         sinks = [r for r, u in enumerate(order) if not self.succs[u]]
         if not sinks:  # single-node graphs etc. — all nodes are sinks
             sinks = list(range(len(order)))
         best_r = max(sinks, key=lambda r: (S[r + 1, L], -r))
+        if S[best_r + 1, L] <= NEG // 2:
+            raise _Overflow(StatusType.EXCEEDED_BAND_WIDTH)
         # traceback
         path: list[tuple[int, int]] = []
         r, j = best_r, L
@@ -325,7 +339,7 @@ class _Overflow(Exception):
 def poa(seqs: list[str], weights: list[list[int]] | None = None,
         batch_size: BatchSize | None = None,
         scores: PoaScores | None = None,
-        output_msa: bool = False):
+        output_msa: bool = False, banded: bool = False):
     """Full-window POA: returns (consensus, coverage, msa_rows, status)."""
     from ..utils.genomeutils import encode
     bs = batch_size or BatchSize()
@@ -334,7 +348,7 @@ def poa(seqs: list[str], weights: list[list[int]] | None = None,
         return "", [], [], int(StatusType.EXCEEDED_MAXIMUM_SEQUENCES_PER_POA)
     if any(len(s) > bs.max_sequence_size for s in seqs):
         return "", [], [], int(StatusType.EXCEEDED_MAXIMUM_SEQUENCE_SIZE)
-    g = PoaGraph(batch_size=bs, scores=sc)
+    g = PoaGraph(batch_size=bs, scores=sc, banded=banded)
     try:
         for i, s in enumerate(seqs):
             codes = list(encode(s))

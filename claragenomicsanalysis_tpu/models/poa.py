@@ -25,7 +25,8 @@ from ..utils.genomeutils import BASES, encode
 
 
 @functools.lru_cache(maxsize=16)
-def _build_program(bs: BatchSize, sc: PoaScores, msa: bool):
+def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
+                   banded: bool = False):
     N, P, A = bs.padded_nodes, bs.max_pred_per_node, bs.max_aligned_per_node
     S, L = bs.max_sequences_per_poa, bs.padded_seq
     TL = N + L
@@ -41,14 +42,21 @@ def _build_program(bs: BatchSize, sc: PoaScores, msa: bool):
             seq, w, slen, s_idx = x
             active = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
             new_level, order, rank, ok = poa_ops.topsort(state, level, N + 2)
-            Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc)
-            pn, pp, _ = poa_ops.nw_traceback(state, order, rank, Smat, seq,
-                                             slen, sc, TL)
+            Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc,
+                                    band_width=bs.band_width if banded else 0)
+            pn, pp, _, band_ok = poa_ops.nw_traceback(state, order, rank,
+                                                      Smat, seq, slen, sc, TL)
             new_state = poa_ops.add_alignment(state, pn, pp, seq, w,
                                               s_idx, bs)
             new_state = new_state._replace(status=jnp.where(
                 ok, new_state.status,
                 jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND)))
+            # band failure: keep the last consistent graph (oracle rule 8),
+            # only the sticky status advances
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(band_ok, a, b),
+                new_state, state._replace(status=jnp.int32(
+                    StatusType.EXCEEDED_BAND_WIDTH)))
             state = jax.tree_util.tree_map(
                 lambda a, b: jnp.where(active, a, b), new_state, state)
             level = jnp.where(active, new_level, level)
@@ -77,11 +85,12 @@ class Batch:
     def __init__(self, batch_size: BatchSize | None = None,
                  scores: PoaScores | None = None,
                  output_mask: int = OutputType.CONSENSUS,
-                 max_poas: int = 1024):
+                 max_poas: int = 1024, banded_alignment: bool = False):
         self.batch_size = batch_size or BatchSize()
         self.scores = scores or PoaScores()
         self.output_mask = OutputType(output_mask)
         self.max_poas = max_poas
+        self.banded_alignment = banded_alignment
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
         self._out = None
@@ -130,7 +139,8 @@ class Batch:
                 weights[wi, si, : len(s)] = wt
                 lens[wi, si] = len(s)
         program = _build_program(self.batch_size, self.scores,
-                                 bool(self.output_mask & OutputType.MSA))
+                                 bool(self.output_mask & OutputType.MSA),
+                                 self.banded_alignment)
         out = program(jnp.asarray(seqs), jnp.asarray(weights),
                       jnp.asarray(lens), jnp.asarray(n_seqs))
         self._out = tuple(np.asarray(o) for o in out)
@@ -196,7 +206,8 @@ class Batch:
             if hstat != StatusType.SUCCESS:
                 graphs.append(None)
                 continue
-            g = PoaGraph(batch_size=self.batch_size, scores=self.scores)
+            g = PoaGraph(batch_size=self.batch_size, scores=self.scores,
+                         banded=self.banded_alignment)
             try:
                 for i, s in enumerate(seqs):
                     codes = list(encode(s))
@@ -222,8 +233,10 @@ def create_batch(batch_size: BatchSize | None = None,
                  max_poas: int = 1024,
                  gap_score: int | None = None,
                  mismatch_score: int | None = None,
-                 match_score: int | None = None) -> Batch:
-    """Factory mirroring the reference create_batch [U]."""
+                 match_score: int | None = None,
+                 banded_alignment: bool = False) -> Batch:
+    """Factory mirroring the reference create_batch [U] (incl. its
+    banded_alignment bool; band width comes from BatchSize.band_width)."""
     if scores is None and any(v is not None for v in
                               (gap_score, mismatch_score, match_score)):
         d = PoaScores()
@@ -231,4 +244,4 @@ def create_batch(batch_size: BatchSize | None = None,
             match_score=match_score if match_score is not None else d.match_score,
             mismatch_score=mismatch_score if mismatch_score is not None else d.mismatch_score,
             gap_score=gap_score if gap_score is not None else d.gap_score)
-    return Batch(batch_size, scores, output_mask, max_poas)
+    return Batch(batch_size, scores, output_mask, max_poas, banded_alignment)

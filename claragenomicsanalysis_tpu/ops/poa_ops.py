@@ -135,9 +135,14 @@ def topsort(state: PoaState, prev_level, max_iters: int):
 
 # ---------------------------------------------------------------- graph NW
 
-def graph_nw(state: PoaState, order, rank, seq, slen, scores: PoaScores):
+def graph_nw(state: PoaState, order, rank, seq, slen, scores: PoaScores,
+             band_width: int = 0):
     """Sequence-vs-graph NW.  Returns the scores matrix S ((N+1, L+1), row
-    r+1 = node order[r], row 0 = virtual source) for the traceback."""
+    r+1 = node order[r], row 0 = virtual source) for the traceback.
+
+    band_width > 0 enables the static band of cpu/poa_oracle.py rule 8
+    (reference: cudapoa/src/cudapoa_nw_banded.cuh [U]): row of rank r only
+    keeps columns |j - ((r+1)*slen)//(node_count+1)| <= band_width//2."""
     N, P = state.pred.shape
     L = seq.shape[0]
     g = jnp.int32(scores.gap_score)
@@ -164,9 +169,15 @@ def graph_nw(state: PoaState, order, rank, seq, slen, scores: PoaScores):
         vert = pmax[1:] + g
         tmp = jnp.maximum(diag, vert)               # (L,)
         vals = jnp.concatenate([(pmax[:1] + g), tmp])  # (L+1,) j=0 col first
+        if band_width > 0:
+            c = ((r + 1) * slen) // (state.node_count + 1)
+            in_band = jnp.abs(jj - c) <= band_width // 2
+            vals = jnp.where(in_band, vals, NEG)
         # row[j] = j*g + cummax(vals[l] - l*g)
-        c = jax.lax.cummax(vals - jj * g)
-        row = c + jj * g
+        cm = jax.lax.cummax(vals - jj * g)
+        row = cm + jj * g
+        if band_width > 0:
+            row = jnp.where(in_band, row, NEG)
         row = jnp.where(act, row, NEG).astype(jnp.int32)
         Smat = jax.lax.dynamic_update_slice(Smat, row[None], (r + 1, 0))
         return Smat, ()
@@ -178,22 +189,24 @@ def graph_nw(state: PoaState, order, rank, seq, slen, scores: PoaScores):
 def nw_traceback(state: PoaState, order, rank, Smat, seq, slen,
                  scores: PoaScores, path_len: int):
     """Canonical traceback (diag -> vertical -> horizontal; preds in
-    ascending index order).  Returns (path_node, path_pos, start) where
-    entries [start:] of the fixed-length buffers are the forward-order path;
-    inert slots hold -2."""
+    ascending index order).  Returns (path_node, path_pos, start, band_ok)
+    where entries [start:] of the fixed-length buffers are the forward-order
+    path; inert slots hold -2.  band_ok is False when no global path exists
+    inside the band (banded graph_nw left the best sink cell at ~NEG)."""
     N, P = state.pred.shape
     g = jnp.int32(scores.gap_score)
     TL = path_len
 
-    # end cell: best sink at column slen; tie -> smallest rank
+    # end cell: best sink at column slen; tie -> smallest rank (two-stage
+    # max + first-argmax, so NEG cells never enter a key multiplication)
     idx = jnp.arange(N, dtype=jnp.int32)
     act_r = idx < state.node_count
     u_of_r = order
     sink = (_padget(state.nsucc, u_of_r, 1) == 0) & act_r
     val = jnp.take(Smat[1:, :], jnp.clip(slen, 0, Smat.shape[1] - 1), axis=1)
-    key = val * (N + 1) + (N - 1 - idx)
-    key = jnp.where(sink, key, NEG * 2)
-    r_end = jnp.argmax(key).astype(jnp.int32)
+    vmax = jnp.max(jnp.where(sink, val, NEG))
+    r_end = jnp.argmax(sink & (val == vmax)).astype(jnp.int32)
+    band_ok = vmax > NEG // 2
 
     pn0 = jnp.full(TL, -2, jnp.int32)
     pp0 = jnp.full(TL, -2, jnp.int32)
@@ -251,7 +264,7 @@ def nw_traceback(state: PoaState, order, rank, Smat, seq, slen,
     r0 = jnp.where(state.node_count > 0, r_end, jnp.int32(-1))
     _, _, k, pn, pp = jax.lax.while_loop(
         cond, body, (r0, slen.astype(jnp.int32), jnp.int32(TL), pn0, pp0))
-    return pn, pp, k
+    return pn, pp, k, band_ok
 
 
 # ------------------------------------------------------------ add alignment
