@@ -76,10 +76,12 @@ def cmd_poa(args) -> int:
     max_len = max((len(s) for w in windows for s in w), default=1)
     max_seqs = max((len(w) for w in windows), default=1)
     bs = BatchSize(max_sequence_size=max(64, max_len),
-                   max_sequences_per_poa=max(2, max_seqs))
+                   max_sequences_per_poa=max(2, max_seqs),
+                   band_width=args.band_width)
     mask = OutputType.CONSENSUS | (OutputType.MSA if args.msa else 0)
     batch = create_batch(batch_size=bs, output_mask=mask,
-                         max_poas=len(windows))
+                         max_poas=len(windows),
+                         banded_alignment=args.banded)
     for w in windows:
         batch.add_poa_group(w)
     cons, covs, stats = batch.get_consensus()
@@ -102,7 +104,13 @@ def cmd_map(args) -> int:
     from .models.mapper import map_all_vs_all, overlaps_to_paf
     parser = create_fasta_parser(args.input)
     res = map_all_vs_all(parser, _mapper_cfg(args))
-    for row in overlaps_to_paf(res.overlaps, parser):
+    overlaps = res.overlaps
+    if args.rescue_overlap_ends:
+        from .models.mapper import Overlapper
+        overlaps = Overlapper.rescue_overlap_ends(
+            overlaps, parser, extension=args.rescue_extension,
+            required_similarity=args.rescue_similarity)
+    for row in overlaps_to_paf(overlaps, parser):
         print(row)
     bad = [s for s in res.statuses if s != StatusType.SUCCESS]
     if bad:
@@ -145,11 +153,18 @@ def main(argv=None) -> int:
     p.add_argument("windows")
     p.add_argument("--msa", action="store_true")
     p.add_argument("--max-windows", type=int, default=0)
+    p.add_argument("--banded", action="store_true",
+                   help="static-banded graph NW (cudapoa banded_alignment)")
+    p.add_argument("--band-width", type=int, default=256)
     p.set_defaults(fn=cmd_poa)
 
     m = sub.add_parser("map", help="all-vs-all overlap, PAF to stdout")
     m.add_argument("input")
     _add_mapper_flags(m)
+    m.add_argument("--rescue-overlap-ends", action="store_true",
+                   help="extend overlap ends into similar read flanks")
+    m.add_argument("--rescue-extension", type=int, default=50)
+    m.add_argument("--rescue-similarity", type=float, default=0.85)
     m.set_defaults(fn=cmd_map)
 
     pl = sub.add_parser("pipeline", help="map + align, PAF with CIGARs")

@@ -13,7 +13,8 @@ whose device work is async-dispatched, with results merged in canonical
 Overlap.key() order so output is bit-identical for any batching.
 """
 
-from dataclasses import dataclass
+from collections import Counter
+from dataclasses import dataclass, replace
 from fractions import Fraction
 
 import numpy as np
@@ -26,9 +27,28 @@ from ..core.types import Overlap
 from ..io.fasta import FastaParser
 from ..io.paf import format_paf_row
 from ..ops import map_ops, sketch
-from ..utils.genomeutils import encode
+from ..utils.genomeutils import encode, reverse_complement
 from ..utils.mathutils import round_up
 from ..utils.profiling import trace_range
+
+
+def kmerize(seq: str, k: int) -> Counter:
+    """Multiset of the k-mers of seq (reference: cudamapper_utils.cpp
+    kmerize [U]; host-side helper, used by overlap-end rescue)."""
+    if k <= 0 or len(seq) < k:
+        return Counter()
+    return Counter(seq[i: i + k] for i in range(len(seq) - k + 1))
+
+
+def sequence_similarity(a: str, b: str, k: int = 4) -> float:
+    """Shared-k-mer fraction: |kmers(a) & kmers(b)| / min(#kmers) in [0, 1]
+    (reference: cudamapper_utils similarity helper [U]; exact formula is OURS,
+    documented here: multiset intersection over the shorter k-mer count)."""
+    ka, kb = kmerize(a, k), kmerize(b, k)
+    if not ka or not kb:
+        return 0.0
+    shared = sum((ka & kb).values())
+    return shared / min(sum(ka.values()), sum(kb.values()))
 
 
 class Index:
@@ -182,6 +202,71 @@ class Overlapper:
             for i in sel]
         overlaps.sort(key=lambda o: o.key())
         return overlaps
+
+    @staticmethod
+    def filter_overlaps(overlaps: list[Overlap], min_residues: int = 0,
+                        min_overlap_len: int = 0) -> list[Overlap]:
+        """Post-filter (reference: Overlapper::filter_overlaps [U]): drop
+        overlaps below the residue / length thresholds.  Order-preserving."""
+        return [o for o in overlaps
+                if o.num_residues >= min_residues
+                and (o.query_end_position_in_read
+                     - o.query_start_position_in_read) >= min_overlap_len
+                and (o.target_end_position_in_read
+                     - o.target_start_position_in_read) >= min_overlap_len]
+
+    @staticmethod
+    def rescue_overlap_ends(overlaps: list[Overlap], parser: FastaParser,
+                            extension: int = 50,
+                            required_similarity: float = 0.85,
+                            k: int = 4) -> list[Overlap]:
+        """Extend overlap ends into the unaligned read flanks when the two
+        flanks look alike (reference: Overlapper::rescue_overlap_ends [U]).
+
+        Canonical rule (OURS, documented): each end extends by
+        e = min(extension, query flank, target flank) iff e >= k and
+        sequence_similarity(query flank, strand-oriented target flank, k)
+        >= required_similarity.  '-' overlaps pair the query head with the
+        reverse-complemented target TAIL flank and vice versa (PAF keeps
+        target coordinates on the forward strand)."""
+        out = []
+        for o in overlaps:
+            q = parser.get_sequence_by_id(o.query_read_id).seq
+            t = parser.get_sequence_by_id(o.target_read_id).seq
+            qs, qe = (o.query_start_position_in_read,
+                      o.query_end_position_in_read)
+            ts, te = (o.target_start_position_in_read,
+                      o.target_end_position_in_read)
+            fwd = o.relative_strand == "+"
+
+            # head of the query pairs with target start (+) / target end (-)
+            e = min(extension, qs, ts if fwd else len(t) - te)
+            if e >= k:
+                qf = q[qs - e: qs]
+                tf = t[ts - e: ts] if fwd else reverse_complement(t[te: te + e])
+                if sequence_similarity(qf, tf, k) >= required_similarity:
+                    qs -= e
+                    if fwd:
+                        ts -= e
+                    else:
+                        te += e
+            # tail of the query pairs with target end (+) / target start (-)
+            e = min(extension, len(q) - qe, len(t) - te if fwd else ts)
+            if e >= k:
+                qf = q[qe: qe + e]
+                tf = t[te: te + e] if fwd else reverse_complement(t[ts - e: ts])
+                if sequence_similarity(qf, tf, k) >= required_similarity:
+                    qe += e
+                    if fwd:
+                        te += e
+                    else:
+                        ts -= e
+            out.append(replace(
+                o, query_start_position_in_read=qs,
+                query_end_position_in_read=qe,
+                target_start_position_in_read=ts,
+                target_end_position_in_read=te))
+        return out
 
 
 @dataclass
