@@ -6,12 +6,16 @@ SURVEY.md §2.7).  Mesh axes:
   concatenation, bit-identical by construction),
 - ``rep``: minimizer-index sharding by sorted representation blocks (the
   lookup-table TP analog),
-- ``sp``: reserved for ring-wavefront sequence parallelism (extreme lengths).
+- ``sp``: ring-wavefront sequence parallelism (one problem's DP matrix
+  sharded by target stripes, frontier cells passed over the ring — see
+  ring_nw.py; for pairs too long for one core).
 """
 
 from .mesh import make_mesh, local_device_count
 from .shard import (sharded_banded_nw, sharded_match_chain, sharded_poa)
 from .manifest import map_all_vs_all_resumable
+from .ring_nw import ring_wavefront_nw
 
 __all__ = ["make_mesh", "local_device_count", "sharded_banded_nw",
-           "sharded_match_chain", "sharded_poa", "map_all_vs_all_resumable"]
+           "sharded_match_chain", "sharded_poa", "map_all_vs_all_resumable",
+           "ring_wavefront_nw"]
