@@ -132,15 +132,27 @@ def banded_nw(q: jnp.ndarray, qlen: jnp.ndarray, t: jnp.ndarray,
 
 
 def traceback_paths(tb: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
-                    band_radius: int) -> list[list[int]]:
+                    band_radius: int,
+                    use_native: str = "auto") -> list[list[int]]:
     """Host-side decode of the banded traceback array into edit paths.
 
-    Walks all B problems in lockstep with vectorized NumPy (the per-problem
+    Dispatches to the native C++ decoder (native/traceback.cpp) when built —
+    a single linear scan per problem.  The pure-Python fallback below walks
+    all B problems in lockstep with vectorized NumPy (the per-problem
     walk is inherently serial — O(n+m) steps — but all problems advance
     together, mirroring the reference's dedicated backtrace kernel
     (reference: cudaaligner/src/ukkonen_gpu.cu backtrace phase [U])).
-    Returns AlignmentState code lists in forward (left-to-right) order.
+    Returns AlignmentState code lists in forward (left-to-right) order;
+    both decoders produce identical paths (asserted by tests).
     """
+    if use_native in ("auto", "native"):
+        try:
+            from ..io import native_traceback
+            paths, _ = native_traceback.decode(tb, qlen, tlen, band_radius)
+            return paths
+        except ImportError:
+            if use_native == "native":
+                raise
     tb = np.asarray(tb)
     qlen = np.asarray(qlen).astype(np.int64)
     tlen = np.asarray(tlen).astype(np.int64)
