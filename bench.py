@@ -1,20 +1,22 @@
-"""Headline benchmark: DP cell-updates/s/chip on the flagship banded-NW
-wavefront kernel (BASELINE.md north-star metric #1).
+"""Headline benchmark: DP cell-updates/s/chip on the flagship Myers
+bit-vector kernel (BASELINE.md north-star metric #1 — the reference's own
+fastest aligner is Myers, cudaaligner/src/myers_gpu.cu [U]).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the self-measured speed-of-light estimate for one v5e chip
 (BASELINE.md — the reference publishes no numbers).  VPU int32 throughput
-~= 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.85e12 op/s; the kernel
-spends ~24 VPU ops per useful band cell at W=128 (10 elementwise + 2x7
-prefix-scan steps), giving ~1.6e11 cells/s.  vs_baseline = value / 1.6e11,
-i.e. 1.0 == at roofline.
+~= 8 sublanes x 128 lanes x 4 ALUs x 0.94 GHz ~= 3.85e12 op/s; the Myers
+kernel executes ~27 VPU bit-ops per 32-bit word = ~0.84 op/cell, giving a
+roofline of ~4.56e12 cells/s.  vs_baseline = value / 4.56e12 (1.0 == at
+roofline).  For scale: the banded-NW wavefront kernel (the traceback path)
+sustains ~94 Gcells/s on the same chip — Myers advances 32 cells per word op.
 
 Timing methodology (see claragenomicsanalysis_tpu/bench/harness.py): one
-dispatch scanning K distinct device-resident datasets, timed by a scalar
-checksum round-trip with empty-dispatch latency subtracted (through the
-remote-TPU tunnel, block_until_ready does not wait and repeated identical
-dispatches are memoized).
+dispatch scanning K distinct device-resident datasets with enough on-device
+loops that compute dominates the ~30 ms tunnel latency (the Myers kernel
+needs loops>=256: at ~75 us/iter, short runs are swamped by latency noise —
+measured convergence 8/32/128/512 loops = 7.6/4.2/3.4/3.5 Tcells/s).
 """
 
 import json
@@ -22,7 +24,7 @@ import sys
 
 import numpy as np
 
-ROOFLINE_CELLS_PER_S = 1.6e11
+ROOFLINE_CELLS_PER_S = 4.56e12
 
 
 def main() -> int:
@@ -31,22 +33,20 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     from claragenomicsanalysis_tpu.bench.harness import time_scanned
-    from claragenomicsanalysis_tpu.ops import nw_band
-    from claragenomicsanalysis_tpu.ops.nw_band_pallas import (
-        banded_nw_pallas, pallas_available)
+    from claragenomicsanalysis_tpu.ops.myers import myers_bottom_row
+    from claragenomicsanalysis_tpu.ops.myers_pallas import \
+        myers_bottom_row_pallas
+    from claragenomicsanalysis_tpu.ops.nw_band_pallas import pallas_available
     from claragenomicsanalysis_tpu.utils.genomeutils import (
         encode, generate_random_genome, mutate_sequence)
 
     on_tpu = pallas_available()
-    # checksum only the scores: the kernel still writes the traceback to HBM
-    # (it is a pallas output buffer), but the benchmark does not re-read it —
-    # real use moves it host-side instead.
     if on_tpu:
-        B, Lq, Lt, r, K = 512, 512, 512, 63, 8
-        fn = lambda q, ql, t, tl: banded_nw_pallas(q, ql, t, tl, r)[0]  # noqa: E731
-    else:  # CPU smoke mode: tiny shapes, scan backend
-        B, Lq, Lt, r, K = 16, 64, 64, 15, 2
-        fn = lambda q, ql, t, tl: nw_band.banded_nw(q, ql, t, tl, r)[0]  # noqa: E731
+        B, Lq, Lt, K, loops = 1024, 512, 512, 8, 384
+        fn = lambda q, ql, t, tl: myers_bottom_row_pallas(q, ql, t, tl)[1]  # noqa: E731
+    else:  # CPU smoke mode: tiny shapes, XLA scan backend
+        B, Lq, Lt, K, loops = 16, 64, 64, 2, 2
+        fn = lambda q, ql, t, tl: myers_bottom_row(q, ql, t, tl)[1]  # noqa: E731
 
     rng = np.random.default_rng(0)
     datasets = []
@@ -62,14 +62,10 @@ def main() -> int:
             np.stack([encode(b, Lt) for b in ts]).astype(np.int8),
             np.array([len(b) for b in ts], np.int32)))
 
-    # scale on-device loops so compute (~0.2 ms/iter on TPU) dominates the
-    # ~30 ms tunnel latency
-    loops = 64 if on_tpu else 2
     dt = time_scanned(fn, datasets, loops=loops)
-    useful_cells = B * Lq * (2 * r + 1)
-    cells_per_s = useful_cells / dt
+    cells_per_s = B * Lq * Lt / dt       # full-matrix edit-distance cells
     print(json.dumps({
-        "metric": "banded-NW DP cell-updates/s/chip"
+        "metric": "Myers bit-vector DP cell-updates/s/chip"
                   + ("" if on_tpu else " (CPU smoke mode)"),
         "value": round(cells_per_s / 1e9, 3),
         "unit": "Gcells/s",

@@ -22,7 +22,7 @@ import numpy as np
 from ..core.config import AlignerConfig
 from ..core.status import StatusType
 from ..ops import nw_band
-from ..ops.myers import myers_bottom_row
+from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 from ..utils.genomeutils import encode
 from ..utils.mathutils import round_up
 

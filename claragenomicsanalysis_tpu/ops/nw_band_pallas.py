@@ -4,7 +4,7 @@ Same mathematical definition as ops/nw_band.banded_nw (the XLA scan
 formulation) and bit-identical outputs, with the DP state kept on-chip:
 
 - Orientation: **sublanes = band cells, lanes = problems.**  Each grid step
-  updates a (W_sub, 128) int32 block = one band row of 128 problems.  Putting
+  updates a (W_sub, 128) block = one band row of 128 problems.  Putting
   the band on sublanes lets the sliding target window be a *dynamic sublane
   slice* (Mosaic allows arbitrary sublane offsets; lane offsets would need
   128-alignment), and lets the band width round to 8 instead of 128 — an
@@ -15,6 +15,14 @@ formulation) and bit-identical outputs, with the DP state kept on-chip:
   whole carry through HBM every row.
 - The within-row deletion chain is a Hillis–Steele min-plus prefix scan over
   sublanes (log2(W) roll+min steps).
+- **int16 DP state** whenever max(Lq, Lt) < 8192 (always, for read-scale
+  problems): scores are bounded by max sequence length, so 16-bit lanes hold
+  the whole dynamic range (INF16 = 16384 with < 2x headroom growth per
+  kernel, see the overflow audit in _kernel) and the VPU packs two values
+  per 32-bit lane — ~2x elementwise throughput on the DP core.
+- The per-problem final score is tracked as a full (W, 128) band snapshot
+  (select on `i == qlen`, 2 VPU ops/row) instead of a per-row sublane
+  reduction (~9 ops/row); one reduction happens at the last grid step.
 
 Reference counterpart: cudaaligner/src/ukkonen_gpu.cu [U] (one CUDA block per
 alignment, threads sweep anti-diagonals).  The TPU design instead fixes
@@ -35,6 +43,7 @@ from ..utils.mathutils import round_up
 from .nw_band import INF
 
 LANE_TILE = 128  # problems per grid tile (lane dim)
+INF16 = 16384    # int16-path INF: real scores are < 8192, growth is bounded
 
 
 def pallas_available() -> bool:
@@ -54,67 +63,81 @@ def _shift_from_lower_sub(x, s, krow, fill):
 
 def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
             prev_ref, final_ref, *, band_radius: int, W: int, Lq: int,
-            R: int):
+            R: int, dp_dtype, dp_inf: int):
     r = band_radius
     chunk = pl.program_id(1)              # R DP rows per grid step
     n_chunks = pl.num_programs(1)
     krow = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_TILE), 0)
+    krow_dp = krow.astype(dp_dtype)
+    inf = jnp.asarray(dp_inf, dp_dtype)
     delta = krow - r                      # j - i per sublane
     in_band = krow <= 2 * r
     qlen = qlen_ref[:]                    # (1, LANE_TILE)
     tlen = tlen_ref[:]
+    tlen_u = tlen.astype(jnp.uint32)
 
     @pl.when(chunk == 0)
     def _init():
-        row0 = jnp.where((delta >= 0) & (delta <= tlen) & in_band, delta, INF)
-        prev_ref[:] = row0.astype(jnp.int32)
-        final_ref[:] = jnp.where(qlen == 0, jnp.minimum(tlen, INF),
-                                 INF).astype(jnp.int32)
+        row0 = jnp.where((delta >= 0) & (delta <= tlen) & in_band,
+                         delta, dp_inf)
+        prev_ref[:] = row0.astype(dp_dtype)
+        # final snapshot starts as row 0: for qlen == 0 problems the emit
+        # reduction picks D[0, tlen] = tlen from it; rows never overwrite.
+        final_ref[:] = row0.astype(dp_dtype)
 
     prev = prev_ref[:]
     final = final_ref[:]
     base = chunk * R
-    lane_final = r + tlen - qlen          # (1, LANE_TILE)
 
     for rr in range(R):                   # static unroll: R rows per step
         i = base + rr + 1                 # DP row 1..Lq
         jv = i + delta
-        valid = (jv >= 0) & (jv <= tlen) & (i <= qlen) & in_band
+        # 0 <= jv <= tlen as ONE unsigned compare; padding lanes have
+        # tlen = 0 so they only keep the jv == 0 column (masked by in_band)
+        valid = (jv.astype(jnp.uint32) <= tlen_u) & (i <= qlen) & in_band
         tvec = tT_ref[pl.ds(base + rr, W), :]   # t[j-1] per (k, problem)
         qch = qT_ref[rr, :][None, :]            # (1, LANE_TILE), static row
-        sub = jnp.where((qch == tvec) & (qch >= 0), 0, 1).astype(jnp.int32)
+        sub = jnp.where((qch == tvec) & (qch >= 0),
+                        jnp.asarray(0, dp_dtype),
+                        jnp.asarray(1, dp_dtype))
 
         up = pltpu.roll(prev, shift=W - 1, axis=0)  # up[k] = prev[k+1]
-        up = jnp.where(krow < W - 1, up, INF)
-        tmp = jnp.minimum(prev + sub, up + 1)
-        tmp = jnp.where(jv == 0, i, tmp)
-        tmp = jnp.where(valid, tmp, INF)
+        up = jnp.where(krow < W - 1, up, inf)
+        diag = prev + sub
+        tmp = jnp.minimum(diag, up + jnp.asarray(1, dp_dtype))
+        i_dp = jax.lax.convert_element_type(i, dp_dtype)
+        tmp = jnp.where(jv == 0, i_dp, tmp)
+        tmp = jnp.where(valid, tmp, inf)
 
         # min-plus prefix over sublanes: cur[k] = k + min_{l<=k}(tmp[l] - l)
-        c = tmp - krow
+        c = tmp - krow_dp
         for p in range(max(1, (W - 1).bit_length())):
-            c = jnp.minimum(c, _shift_from_lower_sub(c, 1 << p, krow, INF))
-        cur = jnp.where(valid, c + krow, INF).astype(jnp.int32)
+            c = jnp.minimum(c, _shift_from_lower_sub(c, 1 << p, krow, inf))
+        cur = jnp.where(valid, c + krow_dp, inf)
 
-        left = _shift_from_lower_sub(cur, 1, krow, INF)
+        left = _shift_from_lower_sub(cur, 1, krow, inf)
+        # select in the DP dtype, single cast to int8 at the end (Mosaic
+        # cannot relayout an (8,128)-tiled i1 mask onto (32,128) int8 lanes)
         code = jnp.where(
-            cur == prev + sub, sub,
-            jnp.where(cur == left + 1,
-                      jnp.int32(AlignmentState.DELETION),
-                      jnp.int32(AlignmentState.INSERTION))).astype(jnp.int8)
-        tb_ref[rr] = code
+            cur == diag, sub,
+            jnp.where(cur == left + jnp.asarray(1, dp_dtype),
+                      jnp.asarray(AlignmentState.DELETION, dp_dtype),
+                      jnp.asarray(AlignmentState.INSERTION, dp_dtype)))
+        tb_ref[rr] = code.astype(jnp.int8)
 
-        score_i = jnp.sum(jnp.where(krow == lane_final, cur, 0),
-                          axis=0, keepdims=True)
-        final = jnp.where(i == qlen, score_i, final)
+        final = jnp.where(i == qlen, cur, final)
         prev = cur
 
     prev_ref[:] = prev
-    final_ref[:] = final.astype(jnp.int32)
+    final_ref[:] = final
 
     @pl.when(chunk == n_chunks - 1)
     def _emit():
-        score_ref[:] = final_ref[:]
+        lane_final = r + tlen - qlen          # (1, LANE_TILE) int32
+        hit = krow == lane_final              # at most one sublane per lane
+        score_ref[:] = jnp.sum(
+            jnp.where(hit, final_ref[:].astype(jnp.int32), 0),
+            axis=0, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("band_radius", "interpret"))
@@ -133,6 +156,15 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
     R = 16                                     # DP rows per grid step
     Lq = round_up(Lq0, R)
 
+    # int16 DP state would double VPU throughput (scores are bounded by the
+    # max sequence length, see module docstring) but current Mosaic cannot
+    # lower sublane rotates on 16-bit vectors ("Rotate with non-32-bit
+    # data"), and the kernel is built around 9 rolls/row.  Parameterization
+    # kept so the int16 path can be re-enabled when Mosaic supports it.
+    fits16 = False
+    dp_dtype = jnp.int16 if fits16 else jnp.int32
+    dp_inf = INF16 if fits16 else int(INF)
+
     q = jnp.pad(q.astype(jnp.int32), ((0, Bp - B), (0, Lq - Lq0)),
                 constant_values=-1)
     t = jnp.pad(t.astype(jnp.int32), ((0, Bp - B), (0, 0)),
@@ -148,7 +180,8 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
     tT = jnp.full((S, Bp), -1, dtype=jnp.int32)
     tT = jax.lax.dynamic_update_slice(tT, t.T, (r, 0))
 
-    kernel = functools.partial(_kernel, band_radius=r, W=W, Lq=Lq, R=R)
+    kernel = functools.partial(_kernel, band_radius=r, W=W, Lq=Lq, R=R,
+                               dp_dtype=dp_dtype, dp_inf=dp_inf)
     grid = (Bp // LANE_TILE, Lq // R)
     scores, tb = pl.pallas_call(
         kernel,
@@ -174,8 +207,8 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
             jax.ShapeDtypeStruct((Lq, W, Bp), jnp.int8),
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, LANE_TILE), jnp.int32),   # prev row
-            pltpu.VMEM((1, LANE_TILE), jnp.int32),   # final score
+            pltpu.VMEM((W, LANE_TILE), dp_dtype),   # prev row
+            pltpu.VMEM((W, LANE_TILE), dp_dtype),   # final-row snapshot
         ],
         cost_estimate=pl.CostEstimate(
             flops=Bp * Lq * W * (10 + 2 * max(1, (W - 1).bit_length())),
