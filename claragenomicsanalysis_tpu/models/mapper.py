@@ -89,25 +89,28 @@ class Index:
             arrays = map_ops.build_index(
                 rep, dirs, is_min, jnp.int32(first_read),
                 filter_thr_num=frac.numerator, filter_thr_den=frac.denominator)
-        arrays = {k2: np.asarray(v) for k2, v in arrays.items()}
+        # arrays stay DEVICE-resident: downloads through the (remote-TPU)
+        # transfer path run at ~20 MB/s, so the index round-trip dominated
+        # the whole mapper before; only final compacted overlaps leave the
+        # device (Overlapper.get_overlaps).
         return cls(arrays, first_read, [len(s) for s in seqs], names)
 
-    # --- reference-parity array views ------------------------------------
+    # --- reference-parity array views (materialize on demand) ------------
     @property
     def n_elems(self) -> int:
         return int(self._arrays["n_elems"])
 
     def representations(self) -> np.ndarray:
-        return self._arrays["rep"][: self.n_elems]
+        return np.asarray(self._arrays["rep"][: self.n_elems])
 
     def read_ids(self) -> np.ndarray:
-        return self._arrays["read_id"][: self.n_elems]
+        return np.asarray(self._arrays["read_id"][: self.n_elems])
 
     def positions_in_reads(self) -> np.ndarray:
-        return self._arrays["pos"][: self.n_elems]
+        return np.asarray(self._arrays["pos"][: self.n_elems])
 
     def directions_of_reads(self) -> np.ndarray:
-        return self._arrays["dir"][: self.n_elems]
+        return np.asarray(self._arrays["dir"][: self.n_elems])
 
     def unique_representations(self) -> np.ndarray:
         return np.unique(self.representations())
@@ -170,11 +173,14 @@ class Matcher:
                 {k: jnp.asarray(v) for k, v in query_index._arrays.items()},
                 {k: jnp.asarray(v) for k, v in target_index._arrays.items()},
                 cap=cap, skip_self=cfg.skip_self_mappings)
-        return cls({k: np.asarray(v) for k, v in anchors.items()},
-                   int(total), bool(overflow))
+        # anchors stay device-resident; chaining consumes them in place
+        return cls(anchors, int(total), bool(overflow))
 
     def anchors(self) -> dict:
         return self._anchors
+
+    def anchors_host(self) -> dict:
+        return {k: np.asarray(v) for k, v in self._anchors.items()}
 
 
 class Overlapper:
@@ -192,14 +198,13 @@ class Overlapper:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap)
-        out = {k: np.asarray(v) for k, v in out.items()}
-        sel = np.nonzero(out["valid"])[0]
+            stacked, nv = map_ops.compact_overlaps(out)
+            rows = np.asarray(stacked[:, : int(nv)])  # ONE small download
         overlaps = [Overlap(
-            int(out["q_read"][i]), int(out["t_read"][i]),
-            int(out["q_start"][i]), int(out["q_end"][i]),
-            int(out["t_start"][i]), int(out["t_end"][i]),
-            int(out["n_res"][i]), "+" if out["dir"][i] == 0 else "-")
-            for i in sel]
+            int(rows[0, i]), int(rows[1, i]), int(rows[2, i]),
+            int(rows[3, i]), int(rows[4, i]), int(rows[5, i]),
+            int(rows[6, i]), "+" if rows[7, i] == 0 else "-")
+            for i in range(rows.shape[1])]
         overlaps.sort(key=lambda o: o.key())
         return overlaps
 

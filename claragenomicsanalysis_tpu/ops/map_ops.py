@@ -79,8 +79,12 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
     """
     qrep = qidx["rep"]
     trep = tidx["rep"]
-    lo = jnp.searchsorted(trep, qrep, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(trep, qrep, side="right").astype(jnp.int32)
+    # method="sort": one bitonic merge instead of 21 serial gather rounds —
+    # ~5x faster at the 2M scale on TPU (and qrep is itself sorted)
+    lo = jnp.searchsorted(trep, qrep, side="left",
+                          method="sort").astype(jnp.int32)
+    hi = jnp.searchsorted(trep, qrep, side="right",
+                          method="sort").astype(jnp.int32)
     cnt = jnp.where(qrep != INVALID, hi - lo, 0).astype(jnp.int32)
     if skip_self:
         # self-pairs are dropped per-anchor below; counts still include them,
@@ -90,7 +94,8 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
                            jnp.cumsum(cnt).astype(jnp.int32)])
     total = cum[-1]
     a = jnp.arange(cap, dtype=jnp.int32)
-    src = jnp.searchsorted(cum, a, side="right").astype(jnp.int32) - 1
+    src = jnp.searchsorted(cum, a, side="right",
+                           method="sort").astype(jnp.int32) - 1
     src = jnp.clip(src, 0, qrep.shape[0] - 1)
     off = a - cum[src]
     tsel = jnp.clip(lo[src] + off, 0, trep.shape[0] - 1)
@@ -164,3 +169,21 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     return {"q_read": qid, "t_read": tid, "q_start": q0, "q_end": q1,
             "t_start": t0, "t_end": t1, "n_res": n_res, "dir": d,
             "valid": ok}
+
+
+OVERLAP_FIELDS = ("q_read", "t_read", "q_start", "q_end", "t_start", "t_end",
+                  "n_res", "dir")
+
+
+@jax.jit
+def compact_overlaps(out: dict):
+    """Stack the chained-overlap fields with valid rows first (stable, so
+    canonical order is preserved) — callers slice [:, :n_valid] and download
+    ONE small array instead of cap-sized field arrays (the remote-TPU
+    transfer path is ~20 MB/s; capacity arrays are MBs, results are KBs).
+    One multi-operand sort beats argsort + 8 gathers ~8x at the 1M scale."""
+    key = (~out["valid"]).astype(jnp.int32)
+    ops = jax.lax.sort(
+        (key,) + tuple(out[f].astype(jnp.int32) for f in OVERLAP_FIELDS),
+        num_keys=1, is_stable=True)
+    return jnp.stack(ops[1:]), jnp.sum(out["valid"]).astype(jnp.int32)

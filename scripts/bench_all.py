@@ -1,0 +1,101 @@
+"""Secondary benchmarks: one JSON line per metric (bench.py stays the
+single-line driver headline).  Covers the BASELINE.md north-star metrics
+beyond the aligner kernel: POA cell-updates/s and mapper overlaps/s.
+
+Run on the real TPU: python scripts/bench_all.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def bench_poa():
+    import jax
+    from claragenomicsanalysis_tpu.bench.harness import time_scanned
+    from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
+    from claragenomicsanalysis_tpu.models.poa import _build_program
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        encode, generate_random_genome, mutate_sequence)
+
+    bs = BatchSize(max_sequence_size=128, max_sequences_per_poa=8,
+                   max_pred_per_node=4, max_aligned_per_node=4,
+                   max_nodes_per_window=256)
+    sc = PoaScores()
+    program = _build_program(bs, sc, False)
+    W, S, L = 128, bs.max_sequences_per_poa, bs.padded_seq
+    rng = np.random.default_rng(0)
+    K = 4
+
+    datasets = []
+    for _ in range(K):
+        seqs = np.full((W, S, L), -1, np.int32)
+        weights = np.zeros((W, S, L), np.int32)
+        lens = np.zeros((W, S), np.int32)
+        n_seqs = np.full(W, S, np.int32)
+        for wi in range(W):
+            base = generate_random_genome(100, rng)
+            for si in range(S):
+                s = mutate_sequence(base, 5, rng)[:bs.max_sequence_size]
+                seqs[wi, si, : len(s)] = encode(s)
+                weights[wi, si, : len(s)] = 1
+                lens[wi, si] = len(s)
+        datasets.append((seqs, weights, lens, n_seqs))
+
+    fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731  status only
+    dt = time_scanned(fn, datasets, loops=2)
+    # graph-NW cells actually computed: (S-1) alignments x nodes x (L+1)
+    # per window, nodes ~ len of seq 0 growing with branches; count the
+    # padded program's real work: N x (L+1) per added sequence.
+    N = bs.padded_nodes
+    cells = W * (S - 1) * N * (bs.padded_seq + 1)
+    return {"metric": "POA graph-NW DP cell-updates/s/chip",
+            "value": round(cells / dt / 1e9, 3), "unit": "Gcells/s",
+            "vs_baseline": None,
+            "detail": f"{W} windows x {S} seqs x {bs.max_sequence_size}bp"}
+
+
+def bench_mapper():
+    from claragenomicsanalysis_tpu.core.config import MapperConfig
+    from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+    from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all
+    from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                      PoissonGenomeSimulator)
+
+    genome = PoissonGenomeSimulator(seed=7).build_reference(200_000)
+    sim = NoisyReadSimulator(seed=7, error_rate=0.05)
+    reads = sim.generate_reads(genome, 400, 4000)
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(r.name, r.seq) for r in reads])
+    cfg = MapperConfig(kmer_size=15, window_size=5)
+    t0 = time.perf_counter()
+    res = map_all_vs_all(parser, cfg)
+    warm = time.perf_counter() - t0      # includes compile
+    t0 = time.perf_counter()
+    res = map_all_vs_all(parser, cfg)
+    dt = time.perf_counter() - t0
+    bases = sum(len(r.seq) for r in reads)
+    return {"metric": "all-vs-all overlaps/s (1 chip, 400x4kb reads)",
+            "value": round(len(res.overlaps) / dt, 1), "unit": "overlaps/s",
+            "vs_baseline": None,
+            "detail": f"{len(res.overlaps)} overlaps, {bases} bases, "
+                      f"{dt*1e3:.0f} ms warm ({warm*1e3:.0f} ms cold)"}
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    for fn in (bench_poa, bench_mapper):
+        try:
+            print(json.dumps(fn()))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}))
+
+
+if __name__ == "__main__":
+    main()
