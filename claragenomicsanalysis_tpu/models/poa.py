@@ -44,10 +44,10 @@ def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
             new_level, order, rank, ok = poa_ops.topsort(state, level, N + 2)
             Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc,
                                     band_width=bs.band_width if banded else 0)
-            pn, pp, _, band_ok = poa_ops.nw_traceback(state, order, rank,
-                                                      Smat, seq, slen, sc, TL)
+            pn, pp, k0, band_ok = poa_ops.nw_traceback(state, order, rank,
+                                                       Smat, seq, slen, sc, TL)
             new_state = poa_ops.add_alignment(state, pn, pp, seq, w,
-                                              s_idx, bs)
+                                              s_idx, bs, path_start=k0)
             new_state = new_state._replace(status=jnp.where(
                 ok, new_state.status,
                 jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND)))
