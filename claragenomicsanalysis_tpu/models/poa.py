@@ -85,12 +85,14 @@ class Batch:
     def __init__(self, batch_size: BatchSize | None = None,
                  scores: PoaScores | None = None,
                  output_mask: int = OutputType.CONSENSUS,
-                 max_poas: int = 1024, banded_alignment: bool = False):
+                 max_poas: int = 1024, banded_alignment: bool = False,
+                 backend: str = "auto"):
         self.batch_size = batch_size or BatchSize()
         self.scores = scores or PoaScores()
         self.output_mask = OutputType(output_mask)
         self.max_poas = max_poas
         self.banded_alignment = banded_alignment
+        self.backend = backend
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
         self._out = None
@@ -138,11 +140,24 @@ class Batch:
                 seqs[wi, si, : len(s)] = encode(s)
                 weights[wi, si, : len(s)] = wt
                 lens[wi, si] = len(s)
-        program = _build_program(self.batch_size, self.scores,
-                                 bool(self.output_mask & OutputType.MSA),
-                                 self.banded_alignment)
-        out = program(jnp.asarray(seqs), jnp.asarray(weights),
-                      jnp.asarray(lens), jnp.asarray(n_seqs))
+        msa = bool(self.output_mask & OutputType.MSA)
+        from ..ops.nw_band_pallas import pallas_available
+        use_pallas = not msa and (
+            self.backend == "pallas"
+            or (self.backend == "auto" and pallas_available()))
+        if use_pallas:
+            # full in-kernel POA (ops/poa_pallas.py) — consensus only;
+            # bit-identical to the XLA program by the oracle contract
+            from ..ops.poa_pallas import poa_batch_pallas
+            out = poa_batch_pallas(
+                jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
+                jnp.asarray(n_seqs), self.batch_size, self.scores,
+                banded=self.banded_alignment)
+        else:
+            program = _build_program(self.batch_size, self.scores, msa,
+                                     self.banded_alignment)
+            out = program(jnp.asarray(seqs), jnp.asarray(weights),
+                          jnp.asarray(lens), jnp.asarray(n_seqs))
         self._out = tuple(np.asarray(o) for o in out)
 
     def _ensure(self):
@@ -234,9 +249,12 @@ def create_batch(batch_size: BatchSize | None = None,
                  gap_score: int | None = None,
                  mismatch_score: int | None = None,
                  match_score: int | None = None,
-                 banded_alignment: bool = False) -> Batch:
+                 banded_alignment: bool = False,
+                 backend: str = "auto") -> Batch:
     """Factory mirroring the reference create_batch [U] (incl. its
-    banded_alignment bool; band width comes from BatchSize.band_width)."""
+    banded_alignment bool; band width comes from BatchSize.band_width).
+    backend: "auto" (in-kernel Pallas POA on TPU for consensus-only
+    batches, XLA program otherwise), "pallas", or "xla"."""
     if scores is None and any(v is not None for v in
                               (gap_score, mismatch_score, match_score)):
         d = PoaScores()
@@ -244,4 +262,5 @@ def create_batch(batch_size: BatchSize | None = None,
             match_score=match_score if match_score is not None else d.match_score,
             mismatch_score=mismatch_score if mismatch_score is not None else d.mismatch_score,
             gap_score=gap_score if gap_score is not None else d.gap_score)
-    return Batch(batch_size, scores, output_mask, max_poas, banded_alignment)
+    return Batch(batch_size, scores, output_mask, max_poas, banded_alignment,
+                 backend)

@@ -1,0 +1,672 @@
+"""Pallas TPU kernel for the FULL per-window POA pipeline.
+
+The XLA formulation (ops/poa_ops.py) pays ~20-100 us of loop/gather overhead
+per node step because XLA lowers per-element gathers to scalar loops and
+every lax.scan/while step round-trips its carry; a POA window is ~1000
+sequential tiny steps, so windows run at milliseconds each.  This kernel runs
+ONE WINDOW PER GRID STEP with every phase inside the kernel:
+
+- ALL per-node graph state (bases, coverage, degree counts, pred/aligned
+  lists, topological order/rank, consensus scores) lives in SMEM, where
+  dynamic scalar indexing is a ~1-cycle load/store — the pointer-chasing
+  phases (graph extension, traceback, consensus walk) become plain scalar
+  loops, exactly like the reference's single-thread-per-window device code
+  (cudapoa/src/cudapoa_add_alignment.cuh etc. [U]);
+- only the DP scores matrix is vector data: a row-major (N+1, L1) VMEM
+  buffer, where the per-node predecessor-row gather is a *dynamic sublane
+  slice* (single vector load — the thing XLA cannot express) and the in-row
+  gap chain is a lane-axis cummax;
+- the topological sort is a warm-started Gauss-Seidel level relaxation plus
+  a COUNTING SORT by (level, idx) — all in SMEM (the least fixpoint equals
+  the XLA Jacobi sweep's, so results are bit-identical).
+
+Phases mirror ops/poa_ops.py EXACTLY (same canonical tie-breaks, statuses,
+overflow clipping) and are asserted bit-identical by tests, in interpret
+mode and on device.  Consensus output only — MSA requests fall back to the
+XLA program (models/poa.py dispatches).
+
+Reference counterpart: the one-CUDA-block-per-window generatePOAKernel
+pipeline (cudapoa/src/cudapoa_kernels.cu + *.cuh [U]).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import BatchSize, PoaScores
+from ..core.status import StatusType
+from ..utils.mathutils import round_up
+
+NEG = -(2**30)
+
+# SMEM node-field rows
+F_BASE, F_COV, F_NPRED, F_NSUCC, F_NALIG, F_LEVEL, F_ORDER, F_RANK, \
+    F_SCORE, F_BP, F_VAL, F_SINK, F_CNT, F_TMP = range(14)
+
+
+def _iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
+def _lx(row, i):
+    """Scalar at lane i of a (1, C) row (vector extract)."""
+    return jnp.sum(jnp.where(_iota(row.shape[-1]) == i, row, 0))
+
+
+def _st(row, i, v):
+    """Row with lane i set to v (masked rewrite)."""
+    return jnp.where(_iota(row.shape[-1]) == i, v, row)
+
+
+def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
+                     skip: tuple = ()):
+    """Returns (kernel_fn, dims) for pl.pallas_call.
+
+    skip: debug-only phase ablation for perf work ("nw", "tb", "add",
+    "cons") — outputs are WRONG when non-empty."""
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    A = bs.max_aligned_per_node
+    S = bs.max_sequences_per_poa
+    L = bs.padded_seq
+    L1 = round_up(L + 1, 128)
+    MC = round_up(bs.max_consensus_size, 128)
+    TL = N + L
+    MATCH = int(sc.match_score)
+    MISM = int(sc.mismatch_score)
+    GAP = int(sc.gap_score)
+    MAXN = bs.max_nodes_per_window
+    BW = bs.band_width if banded else 0
+
+    def kernel(seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s,
+               codes_ref, covs_ref, meta_out_ref,
+               nf, pred_s, predw_s, alig_s, pn_s, pp_s, smat_ref):
+        n_seqs = meta_s[0, S]
+        len0 = meta_s[0, 0]
+
+        # ---------------------------------------------------------- init
+        def init_body(u, _):
+            a = u < len0
+            nf[F_BASE, u] = jnp.where(a, base0_s[0, u], -1)
+            nf[F_COV, u] = jnp.where(a, cov0_s[0, u], 0)
+            nf[F_NPRED, u] = jnp.where(a & (u > 0), 1, 0)
+            nf[F_NSUCC, u] = jnp.where(a & (u < len0 - 1), 1, 0)
+            nf[F_NALIG, u] = 0
+            nf[F_LEVEL, u] = jnp.where(a, u, 0)
+            nf[F_ORDER, u] = u
+            nf[F_RANK, u] = u
+            pred_s[0, u] = jnp.where(a & (u > 0), u - 1, -1)
+            predw_s[0, u] = jnp.where(a & (u > 0), ew0_s[0, u], 0)
+            for p in range(1, P):
+                pred_s[p, u] = -1
+                predw_s[p, u] = 0
+            for q in range(A):
+                alig_s[q, u] = -1
+            return ()
+
+        jax.lax.fori_loop(0, N, init_body, ())
+        node_count0 = len0
+        status0 = jnp.where(
+            len0 > MAXN,
+            jnp.int32(StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+            jnp.int32(StatusType.SUCCESS))
+
+        # ------------------------------------------------------- topsort
+        def topsort(node_count):
+            """Warm Gauss-Seidel level relaxation + counting sort by
+            (level, idx).  Writes F_LEVEL/F_ORDER/F_RANK; returns ok."""
+            def sweep_body(u, changed):
+                def live(changed):
+                    npred_u = nf[F_NPRED, u]
+                    best = jnp.int32(-1)
+                    for p in range(P):
+                        pi = pred_s[p, u]
+                        lv = nf[F_LEVEL, jnp.clip(pi, 0, N - 1)]
+                        best = jnp.maximum(
+                            best, jnp.where(p < npred_u, lv, -1))
+                    new = jnp.maximum(best + 1, 0)
+                    old = nf[F_LEVEL, u]
+                    nf[F_LEVEL, u] = new
+                    return changed | (new != old)
+                return jax.lax.cond(u < node_count, live,
+                                    lambda c: c, changed)
+
+            def sweeps_cond(c):
+                return c[0] & (c[1] < N + 2)
+
+            def sweeps_body(c):
+                _, it = c
+                ch = jax.lax.fori_loop(0, N, sweep_body, jnp.bool_(False))
+                return ch, it + 1
+
+            changed, _ = jax.lax.while_loop(
+                sweeps_cond, sweeps_body, (jnp.bool_(True), jnp.int32(0)))
+            ok = ~changed
+
+            # counting sort by (level, idx): stable, ascending
+            def zero_cnt(b, _):
+                nf[F_CNT, b] = 0
+                return ()
+            jax.lax.fori_loop(0, N, zero_cnt, ())
+
+            def count(u, _):
+                @pl.when(u < node_count)
+                def _():
+                    lv = jnp.clip(nf[F_LEVEL, u], 0, N - 1)
+                    nf[F_CNT, lv] = nf[F_CNT, lv] + 1
+                return ()
+            jax.lax.fori_loop(0, N, count, ())
+
+            def prefix(b, off):
+                c = nf[F_CNT, b]
+                nf[F_CNT, b] = off
+                return off + c
+            jax.lax.fori_loop(0, N, prefix, jnp.int32(0))
+
+            def place(u, _):
+                @pl.when(u < node_count)
+                def _():
+                    lv = jnp.clip(nf[F_LEVEL, u], 0, N - 1)
+                    r = nf[F_CNT, lv]
+                    nf[F_CNT, lv] = r + 1
+                    nf[F_ORDER, r] = u
+                    nf[F_RANK, u] = r
+                @pl.when(u >= node_count)
+                def _():
+                    nf[F_ORDER, u] = u
+                    nf[F_RANK, u] = u
+                return ()
+            jax.lax.fori_loop(0, N, place, ())
+            return ok
+
+        # ------------------------------------------------------- graph NW
+        jj = _iota(L1)
+
+        def graph_nw(s, node_count, slen):
+            seq_row = seqsh_ref[s][None, :]            # char at lane j = j-1
+            seq_ok = (jj >= 1) & (jj <= slen)
+            smat_ref[0] = jnp.where(jj <= L, jj * GAP, NEG)[0]
+
+            def body(r, _):
+                u = nf[F_ORDER, r]
+                npred_u = nf[F_NPRED, u]
+                base_u = nf[F_BASE, u]
+
+                def pred_step(p, pmax):
+                    pi = pred_s[p, u]
+                    pr = nf[F_RANK, jnp.clip(pi, 0, N - 1)] + 1
+                    prow = smat_ref[pl.ds(jnp.clip(pr, 0, N), 1), :]
+                    return jnp.maximum(pmax, prow)
+
+                pmax0 = jnp.full((1, L1), NEG, jnp.int32)
+                pmax = jax.lax.fori_loop(0, npred_u, pred_step, pmax0)
+                pmax = jnp.where(npred_u == 0, smat_ref[pl.ds(0, 1), :], pmax)
+
+                sub = jnp.where((seq_row == base_u) & (seq_row >= 0),
+                                MATCH, MISM)
+                sub = jnp.where(seq_ok, sub, MISM)
+                # vals[0] = pmax[0] + GAP falls out naturally: the rolled
+                # lane 0 wraps lane L1-1, which is always NEG (beyond slen)
+                pms = pltpu.roll(pmax, shift=1, axis=1)   # pmax[j-1]
+                vals = jnp.maximum(pms + sub, pmax + GAP)
+                vals = jnp.where(jj <= slen, vals, NEG)
+                if BW > 0:
+                    c = ((r + 1) * slen) // (node_count + 1)
+                    in_band = jnp.abs(jj - c) <= BW // 2
+                    vals = jnp.where(in_band, vals, NEG)
+                acc = vals - jj * GAP
+                for q in range(max(1, (L1 - 1).bit_length())):
+                    sh = 1 << q
+                    acc = jnp.maximum(
+                        acc, jnp.where(jj >= sh,
+                                       pltpu.roll(acc, shift=sh, axis=1),
+                                       NEG))
+                row = acc + jj * GAP
+                if BW > 0:
+                    row = jnp.where(in_band, row, NEG)
+                row = jnp.where(jj <= slen, row, NEG)
+                smat_ref[pl.ds(r + 1, 1), :] = row
+                nf[F_VAL, r] = _lx(row, slen)
+                nf[F_SINK, r] = jnp.where(nf[F_NSUCC, u] == 0, 1, 0)
+                return ()
+
+            jax.lax.fori_loop(0, node_count, body, ())
+
+        # ------------------------------------------------------ traceback
+        def traceback(s, node_count, slen):
+            """Fills pn_s/pp_s; returns (k, band_ok)."""
+            def find_end(r, c):
+                vmax, first = c
+                v = nf[F_VAL, r]
+                is_sink = (nf[F_SINK, r] > 0) & (r < node_count)
+                better = is_sink & (v > vmax)
+                first = jnp.where(better, r,
+                                  jnp.where(is_sink & (v == vmax)
+                                            & (r < first), r, first))
+                vmax = jnp.where(better, v, vmax)
+                return vmax, first
+            vmax, first = jax.lax.fori_loop(
+                0, N, find_end, (jnp.int32(NEG), jnp.int32(2**30)))
+            band_ok = vmax > NEG // 2
+            r_end = jnp.where(node_count > 0, first, -1)
+
+            def cond(c):
+                r, j, k = c
+                return ((r >= 0) | (j > 0)) & (k > 0)
+
+            def body(c):
+                r, j, k = c
+                u = jnp.where((r >= 0) & (r < N),
+                              nf[F_ORDER, jnp.clip(r, 0, N - 1)], -1)
+                uc = jnp.clip(u, 0, N - 1)
+                here_row = smat_ref[pl.ds(jnp.clip(r + 1, 0, N), 1), :]
+                here = _lx(here_row, j)
+                sc_ch = seq_s[s, jnp.clip(j - 1, 0, L - 1)]
+                sc_ch = jnp.where((j >= 1) & (j <= L), sc_ch, -1)
+                base_u = jnp.where(u >= 0, nf[F_BASE, uc], -2)
+                sub = jnp.where((sc_ch == base_u) & (sc_ch >= 0), MATCH, MISM)
+                npred_u = jnp.where(u >= 0, nf[F_NPRED, uc], 0)
+                at_virtual = r < 0
+
+                any_diag = jnp.bool_(False)
+                any_vert = jnp.bool_(False)
+                sel_d = jnp.int32(0)
+                sel_v = jnp.int32(0)
+                for p in range(P):
+                    pi = pred_s[p, uc]
+                    slot_ok = (p < npred_u) | ((p == 0) & (npred_u == 0))
+                    pr = jnp.where((p == 0) & (npred_u == 0), 0,
+                                   nf[F_RANK, jnp.clip(pi, 0, N - 1)] + 1)
+                    prow = smat_ref[pl.ds(jnp.clip(pr, 0, N), 1), :]
+                    pv_jm1 = _lx(prow, jnp.clip(j - 1, 0, L1 - 1))
+                    pv_j = _lx(prow, j)
+                    d_ok = slot_ok & (j > 0) & (pv_jm1 + sub == here)
+                    v_ok = slot_ok & (pv_j + GAP == here)
+                    sel_d = jnp.where(d_ok & ~any_diag, pr - 1, sel_d)
+                    sel_v = jnp.where(v_ok & ~any_vert, pr - 1, sel_v)
+                    any_diag = any_diag | d_ok
+                    any_vert = any_vert | v_ok
+                any_diag = any_diag & ~at_virtual
+                any_vert = any_vert & ~at_virtual
+
+                move = jnp.where(at_virtual, 3,
+                                 jnp.where(any_diag, 0,
+                                           jnp.where(any_vert, 1, 3)))
+                new_r = jnp.where(move == 0, sel_d,
+                                  jnp.where(move == 1, sel_v, r))
+                new_j = jnp.where((move == 0) | (move == 3), j - 1, j)
+                k2 = k - 1
+                pn_s[0, k2] = jnp.where(move == 3, -1, u)
+                pp_s[0, k2] = jnp.where(move == 1, -1, j - 1)
+                return new_r, new_j, k2
+
+            _, _, k = jax.lax.while_loop(
+                cond, body, (r_end, slen, jnp.int32(TL)))
+            return k, band_ok
+
+        # -------------------------------------------------- add alignment
+        def add_alignment(s, node_count_in, status_in, k0, slen):
+            def body(j, c):
+                node_count, status, prev, prev_pos = c
+                node = pn_s[0, j]
+                pos = pp_s[0, j]
+                inert = (node == -2) | ((node == -1) & (pos == -1))
+                is_del = (node >= 0) & (pos == -1)
+                consume = ~inert & ~is_del
+
+                pc = jnp.clip(pos, 0, L - 1)
+                b = jnp.where((pos >= 0) & (pos < L), seq_s[s, pc], -1)
+                w = jnp.where((pos >= 0) & (pos < L), w_s[s, pc], 0)
+
+                node_c = jnp.clip(node, 0, N - 1)
+                base_n = nf[F_BASE, node_c]
+                nalig_n = nf[F_NALIG, node_c]
+                same = (base_n == b) & (b >= 0) & (node >= 0)
+
+                def scan_cands(_):
+                    any_c = jnp.bool_(False)
+                    sel = jnp.int32(-1)
+                    for a in range(A):
+                        ca = alig_s[a, node_c]
+                        okc = (a < nalig_n) & (b >= 0)
+                        mb = jnp.where(okc & (ca >= 0),
+                                       nf[F_BASE, jnp.clip(ca, 0, N - 1)],
+                                       -2)
+                        hit = okc & (mb == b)
+                        sel = jnp.where(hit & ~any_c, ca, sel)
+                        any_c = any_c | hit
+                    return any_c, sel
+
+                any_cand, cand_sel = jax.lax.cond(
+                    same | (node < 0) | ~consume,
+                    lambda _: (jnp.bool_(False), jnp.int32(-1)),
+                    scan_cands, ())
+
+                need_new = consume & ~((node >= 0) & (same | any_cand))
+                new_id = jnp.clip(node_count, 0, N - 1)
+                overflow_node = need_new & (node_count >= MAXN)
+                link = need_new & (node >= 0)
+                group_sz = nalig_n + 1
+                overflow_clique = link & (group_sz > A)
+
+                target = jnp.where(
+                    ~consume, -1,
+                    jnp.where((node >= 0) & same, node,
+                              jnp.where((node >= 0) & any_cand, cand_sel,
+                                        new_id)))
+                target_c = jnp.clip(target, 0, N - 1)
+
+                @pl.when(need_new)
+                def _():
+                    nf[F_BASE, new_id] = b
+
+                @pl.when(link)
+                def _():
+                    # new node's aligned list = sorted(node_c + cands) and
+                    # append new_id to each member's list
+                    cands = [alig_s[a, node_c] for a in range(A)]
+                    memv = [jnp.where(a < nalig_n, cands[a],
+                                      jnp.int32(2**30)) for a in range(A)]
+                    carry = node_c
+                    for a in range(A):
+                        lo = jnp.minimum(carry, memv[a])
+                        carry = jnp.maximum(carry, memv[a])
+                        alig_s[a, new_id] = jnp.where(lo >= 2**30, -1, lo)
+                    nf[F_NALIG, new_id] = jnp.minimum(group_sz, A)
+                    members = [node_c] + cands
+                    m_ok = [jnp.bool_(True)] + [a < nalig_n
+                                                for a in range(A)]
+                    for mi in range(A + 1):
+                        mc = jnp.clip(members[mi], 0, N - 1)
+                        mn = nf[F_NALIG, mc]
+                        do = m_ok[mi] & (members[mi] >= 0) & (mn < A)
+                        for a in range(A):
+                            alig_s[a, mc] = jnp.where(do & (mn == a),
+                                                      new_id, alig_s[a, mc])
+                        nf[F_NALIG, mc] = jnp.where(do, mn + 1,
+                                                    nf[F_NALIG, mc])
+
+                @pl.when(consume)
+                def _():
+                    nf[F_COV, target_c] = nf[F_COV, target_c] + w
+
+                node_count = jnp.where(need_new & ~overflow_node,
+                                       node_count + 1, node_count)
+
+                # edge prev -> target
+                ppc = jnp.clip(prev_pos, 0, L - 1)
+                wp = jnp.where((prev_pos >= 0) & (prev_pos < L),
+                               w_s[s, ppc], 0)
+                ew = jnp.minimum(wp, w)
+                has_edge = (prev >= 0) & consume
+                prev_c = jnp.clip(prev, 0, N - 1)
+                npred_t = nf[F_NPRED, target_c]
+                pvals = [pred_s[p, target_c] for p in range(P)]
+                wvals = [predw_s[p, target_c] for p in range(P)]
+                exist = [(npred_t > p) & (pvals[p] == prev_c)
+                         for p in range(P)]
+                any_exist = jnp.bool_(False)
+                for p in range(P):
+                    any_exist = any_exist | exist[p]
+                any_exist = any_exist & has_edge
+
+                @pl.when(any_exist)
+                def _():
+                    for p in range(P):
+                        predw_s[p, target_c] = jnp.where(
+                            exist[p], wvals[p] + ew, predw_s[p, target_c])
+
+                ins = has_edge & ~any_exist
+                overflow_edge = ins & (npred_t >= P)
+                do_ins = ins & ~overflow_edge
+
+                @pl.when(do_ins)
+                def _():
+                    pos_ins = jnp.int32(0)
+                    for p in range(P):
+                        pos_ins = pos_ins + jnp.where(
+                            (p < npred_t) & (pvals[p] < prev_c), 1, 0)
+                    for p in range(P):
+                        new_p = jnp.where(
+                            p < pos_ins, pvals[p],
+                            jnp.where(p == pos_ins, prev_c,
+                                      pvals[p - 1] if p >= 1
+                                      else jnp.int32(-1)))
+                        new_w = jnp.where(
+                            p < pos_ins, wvals[p],
+                            jnp.where(p == pos_ins, ew,
+                                      wvals[p - 1] if p >= 1
+                                      else jnp.int32(0)))
+                        pred_s[p, target_c] = new_p
+                        predw_s[p, target_c] = new_w
+                    nf[F_NPRED, target_c] = npred_t + 1
+                    nf[F_NSUCC, prev_c] = nf[F_NSUCC, prev_c] + 1
+
+                status = jnp.where(
+                    (status == StatusType.SUCCESS)
+                    & (overflow_node | overflow_clique),
+                    jnp.int32(
+                        StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                    status)
+                status = jnp.where(
+                    (status == StatusType.SUCCESS) & overflow_edge,
+                    jnp.int32(
+                        StatusType.EDGE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                    status)
+
+                new_prev = jnp.where(consume, target, prev)
+                new_prev_pos = jnp.where(consume, pos, prev_pos)
+                return (node_count, status, new_prev, new_prev_pos)
+
+            node_count, status, _, _ = jax.lax.fori_loop(
+                k0, TL, body,
+                (node_count_in, status_in, jnp.int32(-1), jnp.int32(-1)))
+            return node_count, status
+
+        # ============================================== the sequence loop
+        node_count = node_count0
+        status = status0
+        for s in range(1, S):
+            slen = meta_s[0, s]
+            active = (s < n_seqs) & (status == StatusType.SUCCESS)
+
+            def do_seq(node_count, status, s=s, slen=slen):
+                ok = topsort(node_count)
+                if "nw" not in skip:
+                    graph_nw(s, node_count, slen)
+                if "tb" not in skip:
+                    k0, band_ok = traceback(s, node_count, slen)
+                else:
+                    k0, band_ok = jnp.int32(TL), jnp.bool_(True)
+
+                def do_add(nc_st):
+                    return add_alignment(s, nc_st[0], nc_st[1], k0, slen)
+
+                def band_fail(nc_st):
+                    return nc_st[0], jnp.int32(StatusType.EXCEEDED_BAND_WIDTH)
+
+                if "add" in skip:
+                    nc2, st2 = node_count, status
+                else:
+                    nc2, st2 = jax.lax.cond(band_ok, do_add, band_fail,
+                                            (node_count, status))
+                # precedence mirrors models/poa.py: band failure wins, then
+                # topsort non-convergence, then add-phase statuses
+                st2 = jnp.where(
+                    band_ok & ~ok,
+                    jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND),
+                    st2)
+                return nc2, st2
+
+            def skip_seq(node_count, status):
+                return node_count, status
+
+            node_count, status = jax.lax.cond(
+                active, do_seq, skip_seq, node_count, status)
+
+        # ------------------------------------------------------- consensus
+        _ = topsort(node_count)
+
+        def cons_body(r, _):
+            u = nf[F_ORDER, r]
+            npred_u = nf[F_NPRED, u]
+            wmax = jnp.int32(NEG)
+            for p in range(P):
+                wmax = jnp.maximum(
+                    wmax, jnp.where(p < npred_u, predw_s[p, u], NEG))
+            smax = jnp.int32(NEG)
+            for p in range(P):
+                ps = nf[F_SCORE, jnp.clip(pred_s[p, u], 0, N - 1)]
+                smax = jnp.maximum(
+                    smax, jnp.where((p < npred_u) & (predw_s[p, u] == wmax),
+                                    ps, NEG))
+            bp = jnp.int32(-1)
+            found = jnp.bool_(False)
+            for p in range(P):
+                pi = pred_s[p, u]
+                ps = nf[F_SCORE, jnp.clip(pi, 0, N - 1)]
+                hit = ((p < npred_u) & (predw_s[p, u] == wmax)
+                       & (ps == smax) & ~found)
+                bp = jnp.where(hit, pi, bp)
+                found = found | hit
+            has = npred_u > 0
+            nf[F_SCORE, u] = jnp.where(has, wmax + smax, 0)
+            nf[F_BP, u] = bp
+            return ()
+
+        def cons_init(u, _):
+            nf[F_SCORE, u] = NEG
+            nf[F_BP, u] = -1
+            return ()
+
+        jax.lax.fori_loop(0, N, cons_init, ())
+        if "cons" not in skip:
+            jax.lax.fori_loop(0, node_count, cons_body, ())
+
+        # end node: max score, tie -> smallest rank
+        def find_best(u, c):
+            smax, end = c
+            act = u < node_count
+            v = jnp.where(act, nf[F_SCORE, u], NEG)
+            rk = nf[F_RANK, u]
+            better = v > smax
+            tie = (v == smax) & (rk < jnp.where(
+                end >= 0, nf[F_RANK, jnp.clip(end, 0, N - 1)],
+                jnp.int32(2**30)))
+            end = jnp.where(act & (better | tie), u, end)
+            smax = jnp.where(act & better, v, smax)
+            return smax, end
+
+        _, end = jax.lax.fori_loop(0, N, find_best,
+                                   (jnp.int32(NEG), jnp.int32(-1)))
+
+        def bt_cond(c):
+            u, k, _, _ = c
+            return (u >= 0) & (k > 0)
+
+        def bt_body(c):
+            u, k, codes, covs = c
+            uc = jnp.clip(u, 0, N - 1)
+            codes = _st(codes, k - 1, nf[F_BASE, uc])
+            covs = _st(covs, k - 1, nf[F_COV, uc])
+            return nf[F_BP, uc], k - 1, codes, covs
+
+        codes0 = jnp.full((1, MC), -1, jnp.int32)
+        covs0 = jnp.zeros((1, MC), jnp.int32)
+        u0 = jnp.where(node_count > 0, end, jnp.int32(-1))
+        _, kk, codes, covs = jax.lax.while_loop(
+            bt_cond, bt_body, (u0, jnp.int32(MC), codes0, covs0))
+        length = MC - kk
+        codes = pltpu.roll(codes, shift=MC - kk, axis=1)
+        covs = pltpu.roll(covs, shift=MC - kk, axis=1)
+        mcl = _iota(MC)
+        codes_ref[0] = jnp.where(mcl < length, codes, -1)[0]
+        covs_ref[0] = jnp.where(mcl < length, covs, 0)[0]
+        meta_out = jnp.zeros((1, 128), jnp.int32)
+        meta_out = _st(meta_out, 0, length)
+        meta_out = _st(meta_out, 1, status)
+        meta_out = _st(meta_out, 2, node_count)
+        meta_out_ref[0] = meta_out[0]
+
+    dims = dict(N=N, P=P, A=A, S=S, L=L, L1=L1, MC=MC, TL=TL)
+    return kernel, dims
+
+
+@functools.partial(jax.jit, static_argnames=("bs", "sc", "banded",
+                                             "interpret", "skip"))
+def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
+                     sc: PoaScores, banded: bool = False,
+                     interpret: bool = False, skip: tuple = ()):
+    """Consensus for a batch of windows.  Same contract as the XLA program in
+    models/poa.py (msa=False): returns (codes (W, MCp), covs (W, MCp),
+    length (W,), rows placeholder, n_cols placeholder, status (W,))."""
+    W = seqs.shape[0]
+    kernel, d = build_poa_kernel(bs, sc, banded, skip)
+    N, S, L, L1, MC = d["N"], d["S"], d["L"], d["L1"], d["MC"]
+
+    # VMEM: shifted lane-oriented char rows (lane j holds seq[j-1])
+    pad1 = jnp.full((W, S, 1), -1, jnp.int32)
+    seqsh = jnp.concatenate([pad1, seqs.astype(jnp.int32)], axis=2)
+    seqsh = jnp.pad(seqsh, ((0, 0), (0, 0), (0, L1 - L - 1)),
+                    constant_values=-1)
+    meta = jnp.zeros((W, 1, 128), jnp.int32)
+    meta = meta.at[:, 0, :S].set(lens.astype(jnp.int32))
+    meta = meta.at[:, 0, S].set(n_seqs.astype(jnp.int32))
+
+    def to_n(x, fill):
+        x = x.astype(jnp.int32)
+        if L >= N:
+            return x[:, :N][:, None, :]
+        return jnp.pad(x, ((0, 0), (0, N - L)),
+                       constant_values=fill)[:, None, :]
+
+    base0 = to_n(seqs[:, 0, :], -1)
+    cov0 = to_n(weights[:, 0, :], 0)
+    w0 = weights[:, 0, :].astype(jnp.int32)
+    w0m = jnp.concatenate([w0[:, :1], jnp.minimum(w0[:, 1:], w0[:, :-1])],
+                          axis=1)
+    ew0 = to_n(w0m, 0)
+
+    def vspec(*shape):
+        return pl.BlockSpec((None,) + shape,
+                            lambda w: (w,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(*shape):
+        return pl.BlockSpec((None,) + shape,
+                            lambda w: (w,) + (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    codes, covs, meta_out = pl.pallas_call(
+        kernel,
+        grid=(W,),
+        in_specs=[vspec(S, L1),                     # seqsh (vector rows)
+                  sspec(S, L), sspec(S, L),         # seq/weights scalars
+                  sspec(1, 128),                    # lens + n_seqs
+                  sspec(1, N), sspec(1, N), sspec(1, N)],
+        out_specs=(vspec(1, MC), vspec(1, MC), vspec(1, 128)),
+        out_shape=(jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
+                   jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
+                   jax.ShapeDtypeStruct((W, 1, 128), jnp.int32)),
+        scratch_shapes=[
+            pltpu.SMEM((14, N), jnp.int32),          # node fields
+            pltpu.SMEM((d["P"], N), jnp.int32),      # pred
+            pltpu.SMEM((d["P"], N), jnp.int32),      # predw
+            pltpu.SMEM((d["A"], N), jnp.int32),      # alig
+            pltpu.SMEM((1, d["TL"]), jnp.int32),     # path nodes
+            pltpu.SMEM((1, d["TL"]), jnp.int32),     # path positions
+            pltpu.VMEM((N + 1, L1), jnp.int32),      # scores matrix
+        ],
+        interpret=interpret,
+    )(seqsh, seqs.astype(jnp.int32), weights.astype(jnp.int32), meta,
+      base0, cov0, ew0)
+
+    length = meta_out[:, 0, 0]
+    status = meta_out[:, 0, 1]
+    rows = jnp.zeros((W, S, 1), jnp.int32)
+    n_cols = jnp.zeros((W,), jnp.int32)
+    return codes[:, 0, :], covs[:, 0, :], length, rows, n_cols, status
