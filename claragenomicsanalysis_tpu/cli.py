@@ -119,6 +119,25 @@ def cmd_map(args) -> int:
     return 0
 
 
+def cmd_simulate(args) -> int:
+    """Synthetic genome + noisy-read FASTA generator (reference:
+    pyclaragenomics bin/genome_simulator + simulators [U])."""
+    from .simulators import (MarkovGenomeSimulator, NoisyReadSimulator,
+                             PoissonGenomeSimulator)
+    sim = (MarkovGenomeSimulator(seed=args.seed) if args.markov
+           else PoissonGenomeSimulator(seed=args.seed))
+    genome = sim.build_reference(args.genome_length)
+    print(f">reference\n{genome}" if args.reads == 0 else "", end="")
+    if args.reads:
+        rsim = NoisyReadSimulator(seed=args.seed, error_rate=args.error_rate)
+        for r in rsim.generate_reads(genome, args.reads, args.read_length):
+            print(f">{r.name}\n{r.seq}")
+        if args.reference_out:
+            with open(args.reference_out, "w") as f:
+                f.write(f">reference\n{genome}\n")
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .io.fasta import create_fasta_parser
     from .models.pipeline import run_pipeline
@@ -166,6 +185,17 @@ def main(argv=None) -> int:
     m.add_argument("--rescue-extension", type=int, default=50)
     m.add_argument("--rescue-similarity", type=float, default=0.85)
     m.set_defaults(fn=cmd_map)
+
+    sm = sub.add_parser("simulate", help="synthetic genome / noisy reads")
+    sm.add_argument("--genome-length", type=int, default=100_000)
+    sm.add_argument("--reads", type=int, default=0,
+                    help="0 = emit the genome itself")
+    sm.add_argument("--read-length", type=int, default=5000)
+    sm.add_argument("--error-rate", type=float, default=0.05)
+    sm.add_argument("--seed", type=int, default=0)
+    sm.add_argument("--markov", action="store_true")
+    sm.add_argument("--reference-out", default="")
+    sm.set_defaults(fn=cmd_simulate)
 
     pl = sub.add_parser("pipeline", help="map + align, PAF with CIGARs")
     pl.add_argument("input")

@@ -26,7 +26,13 @@ def bench_poa():
                    max_pred_per_node=4, max_aligned_per_node=4,
                    max_nodes_per_window=256)
     sc = PoaScores()
-    program = _build_program(bs, sc, False)
+    from claragenomicsanalysis_tpu.ops.nw_band_pallas import pallas_available
+    if pallas_available():
+        from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
+        import functools
+        program = functools.partial(poa_batch_pallas, bs=bs, sc=sc)
+    else:
+        program = _build_program(bs, sc, False)
     W, S, L = 128, bs.max_sequences_per_poa, bs.padded_seq
     rng = np.random.default_rng(0)
     K = 4
