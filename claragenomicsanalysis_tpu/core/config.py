@@ -101,11 +101,16 @@ class MapperConfig:
     skip_self_mappings: bool = True
 
     def __post_init__(self):
-        if not (1 <= self.kmer_size <= 15):
-            # 2k bits must fit an int32 lane (31 bits incl. hash headroom).
-            # k in [1, 15] covers the reference's long-read defaults; larger k
-            # needs the uint64 path (tracked for a later round).
-            raise ValueError("kmer_size must be in [1, 15] (int32 fast path)")
+        # hashed mode packs 2k bits into two uint32 words then mixes to a
+        # 32-bit representation (ops/sketch.py) -> k up to 31; unhashed mode
+        # stores the packed k-mer itself in 32-bit element arrays -> k <= 15.
+        if self.hash_representations:
+            if not (1 <= self.kmer_size <= 31):
+                raise ValueError("kmer_size must be in [1, 31]")
+        elif not (1 <= self.kmer_size <= 15):
+            raise ValueError(
+                "kmer_size must be in [1, 15] when hash_representations "
+                "is off (32-bit unhashed representations)")
 
 
 @dataclass(frozen=True)

@@ -5,13 +5,17 @@ index_gpu.cuh, matcher_gpu.cu, overlapper_triggered.cu [U]) with fully
 canonical rules (ours, documented here; the device ops must match
 bit-for-bit):
 
-**Sketch** (k <= 15, w >= 1):
-- forward rep f(p) = sum_i code[p+i] << 2(k-1-i); reverse-complement rep
-  rc(p) over complemented bases in reverse order; canonical c = min(f, rc),
-  direction = 0 if f <= rc else 1 (forward wins ties).
+**Sketch** (k <= 31 hashed / k <= 15 unhashed, w >= 1):
+- forward rep f(p) = sum_i code[p+i] << 2(k-1-i) (a 2k-bit integer);
+  reverse-complement rep rc(p) over complemented bases in reverse order;
+  canonical c = min(f, rc), direction = 0 if f <= rc else 1 (forward wins
+  ties).
 - k-mers containing negative codes (N) are invalid.
-- hashed representation = murmur3-style 32-bit finalizer of c (invertible,
-  so distinctness is preserved) when hash_representations, else c.
+- hashed representation = murmur32(lo32(c) ^ murmur32(hi32(c))) when
+  hash_representations (murmur32 = murmur3 fmix32; murmur32(0) == 0, so for
+  k <= 15 this equals murmur32(c) — the rule is one formula for all k);
+  unhashed mode stores c directly and therefore requires k <= 15 (32-bit
+  element arrays).
 - minimizers = union of (a) central: all positions achieving the minimum of
   any full w-window of k-mer reps; (b) prefix end-minimizers: positions
   p <= w-2 with rep[p] == min(rep[0..p]); (c) suffix end-minimizers:
@@ -57,19 +61,19 @@ def murmur32(x: np.ndarray) -> np.ndarray:
 
 
 def kmer_reps(codes: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """(forward, reverse-complement, valid) arrays of length n = len-k+1."""
+    """(forward, reverse-complement, valid) uint64 arrays, length len-k+1."""
     n = len(codes) - k + 1
     if n <= 0:
-        z = np.zeros(0, dtype=np.uint32)
+        z = np.zeros(0, dtype=np.uint64)
         return z, z, np.zeros(0, dtype=bool)
-    f = np.zeros(n, dtype=np.uint32)
-    r = np.zeros(n, dtype=np.uint32)
+    f = np.zeros(n, dtype=np.uint64)
+    r = np.zeros(n, dtype=np.uint64)
     valid = np.ones(n, dtype=bool)
     for i in range(k):
         c = codes[i: i + n].astype(np.int64)
         valid &= c >= 0
-        f |= (np.maximum(c, 0).astype(np.uint32)) << U32(2 * (k - 1 - i))
-        r |= ((3 - np.maximum(c, 0)).astype(np.uint32)) << U32(2 * i)
+        f |= (np.maximum(c, 0).astype(np.uint64)) << np.uint64(2 * (k - 1 - i))
+        r |= ((3 - np.maximum(c, 0)).astype(np.uint64)) << np.uint64(2 * i)
     return f, r, valid
 
 
@@ -83,7 +87,11 @@ def sketch_read(seq: str | np.ndarray, read_id: int,
         return []
     c = np.minimum(f, r)
     direction = (f > r).astype(np.int32)
-    rep = murmur32(c) if cfg.hash_representations else c
+    if cfg.hash_representations:
+        rep = murmur32((c & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+                       ^ murmur32((c >> np.uint64(32)).astype(np.uint32)))
+    else:
+        rep = c.astype(np.uint32)          # config enforces k <= 15 here
     rep = np.where(valid, rep, INVALID)
 
     is_min = np.zeros(n, dtype=bool)

@@ -49,6 +49,10 @@ def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
             t = reverse_complement(t)
         spans.append((q, t))
         max_len = max(max_len, len(q), len(t))
+    # pow2 bucket: one XLA executable serves many runs (the repo-wide
+    # static-shape discipline; a raw data-dependent max_len would compile a
+    # fresh program per input)
+    max_len = max(64, 1 << (max_len - 1).bit_length())
 
     n_fail = 0
     with trace_range("pipeline.align"):

@@ -43,23 +43,40 @@ def sketch_batch(reads: jnp.ndarray, lens: jnp.ndarray, k: int, w: int,
     codes = reads.astype(jnp.int32)
     lens = lens.astype(jnp.int32)
 
-    f = jnp.zeros((B, Lk), jnp.uint32)
-    r = jnp.zeros((B, Lk), jnp.uint32)
+    # two-word packing: a 2k-bit k-mer in (hi, lo) uint32 pairs — 2-bit
+    # fields sit at even bit offsets, so none straddles the word boundary.
+    # k <= 15 keeps hi == 0 and reproduces the single-word representation.
+    f_lo = jnp.zeros((B, Lk), jnp.uint32)
+    f_hi = jnp.zeros((B, Lk), jnp.uint32)
+    r_lo = jnp.zeros((B, Lk), jnp.uint32)
+    r_hi = jnp.zeros((B, Lk), jnp.uint32)
     valid = jnp.ones((B, Lk), bool)
     for i in range(k):
         c = jax.lax.dynamic_slice_in_dim(codes, i, Lk, axis=1)
         valid &= c >= 0
         cpos = jnp.maximum(c, 0).astype(jnp.uint32)
-        f |= cpos << (2 * (k - 1 - i))
-        r |= (3 - cpos) << (2 * i)
+        bf = 2 * (k - 1 - i)
+        if bf <= 30:
+            f_lo |= cpos << bf
+        else:
+            f_hi |= cpos << (bf - 32)
+        br = 2 * i
+        if br <= 30:
+            r_lo |= (3 - cpos) << br
+        else:
+            r_hi |= (3 - cpos) << (br - 32)
 
     pos = jnp.arange(Lk, dtype=jnp.int32)[None, :]
     n = (lens - k + 1)[:, None]                   # kmers per read
     valid &= pos < n
 
-    c = jnp.minimum(f, r)
-    dirs = (f > r).astype(jnp.int32)
-    rep = murmur32(c) if hash_reps else c
+    f_gt_r = (f_hi > r_hi) | ((f_hi == r_hi) & (f_lo > r_lo))
+    c_lo = jnp.where(f_gt_r, r_lo, f_lo)
+    c_hi = jnp.where(f_gt_r, r_hi, f_hi)
+    dirs = f_gt_r.astype(jnp.int32)
+    # canonical hash rule (cpu/mapper_oracle.py): murmur32(0) == 0, so for
+    # k <= 15 this equals the single-word murmur32(c)
+    rep = murmur32(c_lo ^ murmur32(c_hi)) if hash_reps else c_lo
     rep = jnp.where(valid, rep, INVALID)
 
     # central minimizers
