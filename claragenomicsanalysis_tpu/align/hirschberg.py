@@ -38,8 +38,15 @@ class _Frag:
     thi: int
 
 
-def _pad_batch(seqs: list[np.ndarray], L: int) -> np.ndarray:
-    out = np.full((len(seqs), L), -1, dtype=np.int8)
+def _p2(x: int, lo: int) -> int:
+    """pow2 bucket >= max(x, lo) — bounds the number of XLA executables to
+    O(log^2) over all levels and calls (repo-wide shape discipline)."""
+    return max(lo, 1 << (max(x, 1) - 1).bit_length())
+
+
+def _pad_batch(seqs: list[np.ndarray], L: int, B: int | None = None
+               ) -> np.ndarray:
+    out = np.full((B or len(seqs), L), -1, dtype=np.int8)
     for i, s in enumerate(seqs):
         out[i, : len(s)] = s
     return out
@@ -84,12 +91,15 @@ def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
     for r, fs in sorted(buckets.items()):
         qs = [qcodes[f.pair][f.qlo:f.qhi] for f in fs]
         ts = [tcodes[f.pair][f.tlo:f.thi] for f in fs]
-        Lq = round_up(max(max((len(x) for x in qs), default=1), 1), 8)
-        Lt = round_up(max(max((len(x) for x in ts), default=1), 1), 8)
-        q = _pad_batch(qs, Lq)
-        t = _pad_batch(ts, Lt)
-        qlen = np.array([len(x) for x in qs], np.int32)
-        tlen = np.array([len(x) for x in ts], np.int32)
+        Lq = _p2(max((len(x) for x in qs), default=1), 8)
+        Lt = _p2(max((len(x) for x in ts), default=1), 8)
+        Bp = _p2(len(fs), 8)
+        q = _pad_batch(qs, Lq, Bp)
+        t = _pad_batch(ts, Lt, Bp)
+        qlen = np.zeros(Bp, np.int32)
+        tlen = np.zeros(Bp, np.int32)
+        qlen[: len(fs)] = [len(x) for x in qs]
+        tlen[: len(fs)] = [len(x) for x in ts]
         _, tb = nw_band.banded_nw(q, qlen, t, tlen, r)
         sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r)
         for f, p in zip(fs, sub):
@@ -105,12 +115,15 @@ def _split_level(split: list[_Frag], qcodes, tcodes) -> list[_Frag]:
     fwd_t = [tcodes[f.pair][f.tlo:f.thi] for f in split]
     rev_t = [tcodes[f.pair][f.tlo:f.thi][::-1] for f in split]
 
-    Lq = round_up(max(max(len(x) for x in fwd_q + rev_q), 1), 8)
-    Lt = round_up(max(max(len(x) for x in fwd_t), 1), 8)
-    q = _pad_batch(fwd_q + rev_q, Lq)
-    t = _pad_batch(fwd_t + rev_t, Lt)
-    qlen = np.array([len(x) for x in fwd_q + rev_q], np.int32)
-    tlen = np.array([len(x) for x in fwd_t + rev_t], np.int32)
+    Lq = _p2(max(len(x) for x in fwd_q + rev_q), 8)
+    Lt = _p2(max(len(x) for x in fwd_t), 8)
+    Bp = _p2(2 * len(split), 8)
+    q = _pad_batch(fwd_q + rev_q, Lq, Bp)
+    t = _pad_batch(fwd_t + rev_t, Lt, Bp)
+    qlen = np.zeros(Bp, np.int32)
+    tlen = np.zeros(Bp, np.int32)
+    qlen[: 2 * len(split)] = [len(x) for x in fwd_q + rev_q]
+    tlen[: 2 * len(split)] = [len(x) for x in fwd_t + rev_t]
     rows, _ = myers_bottom_row(q, qlen, t, tlen)
     rows = np.asarray(rows)
 

@@ -6,7 +6,11 @@ avoids materializing O(n*m/32) bit columns entirely:
 
 1. run the Myers bit-vector kernel (ops/myers.py) to get each pair's exact
    edit distance s;
-2. re-run the canonical banded-NW kernel with band radius r >= s.
+2. re-run the canonical banded-NW kernel with band radius r >= s — except
+   pairs whose banded traceback array would exceed TB_BYTES_PER_PROBLEM,
+   which route to the linear-memory Hirschberg driver instead (optimal but
+   not canonical-tie-break paths; same caveat as the reference's
+   Hirschberg path).
 
 Any optimal path stays within |i-j| <= s (each off-diagonal step costs 1),
 and for every cell on an optimal path the banded DP value equals the dense
@@ -23,8 +27,17 @@ from ..ops import nw_band
 from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 
 
+#: per-problem traceback budget: above this, the banded tb array (Lq x W
+#: bytes each) costs more to materialize than a Hirschberg re-solve — long
+#: pairs route to the linear-memory path (the reference's own long-pair
+#: answer, hirschberg_myers_gpu.cu [U]).
+TB_BYTES_PER_PROBLEM = 1 << 18
+
+
 def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
-                      backend: str = "auto"):
+                      backend: str = "auto",
+                      queries: list[str] | None = None,
+                      targets: list[str] | None = None):
     """Returns (paths, dists, statuses) for the packed batch."""
     from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
     use_pallas = (backend == "pallas"
@@ -42,10 +55,16 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     # bucket by band radius = next pow2 >= s (s >= |n-m| always)
     radii = np.maximum(scores, 1)
     buckets: dict[int, list[int]] = {}
+    hirsch: list[int] = []
+    Lq = q.shape[1]
     for b in range(B):
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
-        buckets.setdefault(r, []).append(b)
+        if (queries is not None
+                and Lq * nw_band.band_width(r) > TB_BYTES_PER_PROBLEM):
+            hirsch.append(b)
+        else:
+            buckets.setdefault(r, []).append(b)
 
     for r, idxs in sorted(buckets.items()):
         sel = np.array(idxs)
@@ -54,4 +73,11 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
                                             tlen[sel], r)
         for k, b in enumerate(idxs):
             paths[b] = sub_paths[k]
+
+    if hirsch:
+        from .hirschberg import hirschberg_align_batch
+        h_paths, _, _ = hirschberg_align_batch(
+            [queries[b] for b in hirsch], [targets[b] for b in hirsch], cfg)
+        for k, b in enumerate(hirsch):
+            paths[b] = h_paths[k]
     return paths, scores, statuses

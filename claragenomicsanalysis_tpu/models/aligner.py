@@ -143,7 +143,8 @@ class Aligner:
         elif self.algorithm == "myers":
             from ..align.myers_aligner import myers_align_batch
             paths, dists, statuses = myers_align_batch(
-                q, qlen, t, tlen, cfg, backend=self.backend)
+                q, qlen, t, tlen, cfg, backend=self.backend,
+                queries=self._queries, targets=self._targets)
         else:
             paths, dists, statuses = self._run_ukkonen(q, qlen, t, tlen)
 

@@ -142,17 +142,16 @@ class Batch:
                 lens[wi, si] = len(s)
         msa = bool(self.output_mask & OutputType.MSA)
         from ..ops.nw_band_pallas import pallas_available
-        use_pallas = not msa and (
-            self.backend == "pallas"
-            or (self.backend == "auto" and pallas_available()))
+        use_pallas = (self.backend == "pallas"
+                      or (self.backend == "auto" and pallas_available()))
         if use_pallas:
-            # full in-kernel POA (ops/poa_pallas.py) — consensus only;
-            # bit-identical to the XLA program by the oracle contract
+            # full in-kernel POA (ops/poa_pallas.py) — bit-identical to the
+            # XLA program by the oracle contract
             from ..ops.poa_pallas import poa_batch_pallas
             out = poa_batch_pallas(
                 jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
                 jnp.asarray(n_seqs), self.batch_size, self.scores,
-                banded=self.banded_alignment)
+                banded=self.banded_alignment, msa=msa)
         else:
             program = _build_program(self.batch_size, self.scores, msa,
                                      self.banded_alignment)

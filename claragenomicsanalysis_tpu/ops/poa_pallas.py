@@ -33,7 +33,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -63,7 +62,7 @@ def _st(row, i, v):
 
 
 def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
-                     skip: tuple = ()):
+                     msa: bool = False, skip: tuple = ()):
     """Returns (kernel_fn, dims) for pl.pallas_call.
 
     skip: debug-only phase ablation for perf work ("nw", "tb", "add",
@@ -82,13 +81,29 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
     MAXN = bs.max_nodes_per_window
     BW = bs.band_width if banded else 0
 
+    MCOL = round_up(N, 128)
+
     def kernel(seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s,
-               codes_ref, covs_ref, meta_out_ref,
-               nf, pred_s, predw_s, alig_s, pn_s, pp_s, smat_ref):
+               *out_and_scratch):
+        if msa:
+            (codes_ref, covs_ref, meta_out_ref, rows_ref,
+             nf, pred_s, predw_s, alig_s, pn_s, pp_s, paths_s,
+             smat_ref) = out_and_scratch
+        else:
+            (codes_ref, covs_ref, meta_out_ref,
+             nf, pred_s, predw_s, alig_s, pn_s, pp_s, smat_ref) = \
+                out_and_scratch
         n_seqs = meta_s[0, S]
         len0 = meta_s[0, 0]
 
         # ---------------------------------------------------------- init
+        if msa:
+            def paths_init(i, _):
+                for s in range(S):
+                    paths_s[s, i] = jnp.where((s == 0) & (i < len0), i, -1)
+                return ()
+            jax.lax.fori_loop(0, L, paths_init, ())
+
         def init_body(u, _):
             a = u < len0
             nf[F_BASE, u] = jnp.where(a, base0_s[0, u], -1)
@@ -393,6 +408,8 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 @pl.when(consume)
                 def _():
                     nf[F_COV, target_c] = nf[F_COV, target_c] + w
+                    if msa:
+                        paths_s[s, jnp.clip(pos, 0, L - 1)] = target
 
                 node_count = jnp.where(need_new & ~overflow_node,
                                        node_count + 1, node_count)
@@ -586,27 +603,85 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
         mcl = _iota(MC)
         codes_ref[0] = jnp.where(mcl < length, codes, -1)[0]
         covs_ref[0] = jnp.where(mcl < length, covs, 0)[0]
+
+        # ------------------------------------------------------------ MSA
+        n_cols = jnp.int32(0)
+        if msa:
+            # columns (F_TMP): aligned cliques share a column; column =
+            # 1 + max over all group members' preds' columns, assigned at
+            # the first member in topological order (poa_ops.msa_columns)
+            def col_init(u, _):
+                nf[F_TMP, u] = -1
+                return ()
+            jax.lax.fori_loop(0, N, col_init, ())
+
+            def col_body(r, ncols):
+                u = nf[F_ORDER, r]
+
+                def assign(ncols):
+                    nalig_u = nf[F_NALIG, u]
+                    members = [u] + [alig_s[a, u] for a in range(A)]
+                    m_ok = [jnp.bool_(True)] + [a < nalig_u
+                                                for a in range(A)]
+                    c = jnp.int32(-1)
+                    for mi in range(A + 1):
+                        mc = jnp.clip(members[mi], 0, N - 1)
+                        np_m = jnp.where(m_ok[mi], nf[F_NPRED, mc], 0)
+                        for p in range(P):
+                            pc = nf[F_TMP,
+                                    jnp.clip(pred_s[p, mc], 0, N - 1)]
+                            c = jnp.maximum(c, jnp.where(p < np_m, pc, -1))
+                    c = c + 1
+                    for mi in range(A + 1):
+                        mc = jnp.clip(members[mi], 0, N - 1)
+                        do = m_ok[mi] & (members[mi] >= 0)
+                        nf[F_TMP, mc] = jnp.where(do, c, nf[F_TMP, mc])
+                    return jnp.maximum(ncols, c + 1)
+
+                return jax.lax.cond(nf[F_TMP, u] < 0, assign,
+                                    lambda n: n, ncols)
+
+            n_cols = jax.lax.fori_loop(0, node_count, col_body, jnp.int32(0))
+
+            for s in range(S):
+                def row_body(i, row, s=s):
+                    u = paths_s[s, i]
+
+                    def put(row):
+                        uc = jnp.clip(u, 0, N - 1)
+                        c = jnp.clip(nf[F_TMP, uc], 0, MCOL - 1)
+                        return _st(row, c, nf[F_BASE, uc])
+
+                    return jax.lax.cond(u >= 0, put, lambda r: r, row)
+
+                row = jax.lax.fori_loop(
+                    0, L, row_body, jnp.full((1, MCOL), -1, jnp.int32))
+                rows_ref[s] = row[0]
+
         meta_out = jnp.zeros((1, 128), jnp.int32)
         meta_out = _st(meta_out, 0, length)
         meta_out = _st(meta_out, 1, status)
         meta_out = _st(meta_out, 2, node_count)
+        meta_out = _st(meta_out, 3, n_cols)
         meta_out_ref[0] = meta_out[0]
 
     dims = dict(N=N, P=P, A=A, S=S, L=L, L1=L1, MC=MC, TL=TL)
     return kernel, dims
 
 
-@functools.partial(jax.jit, static_argnames=("bs", "sc", "banded",
+@functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
                                              "interpret", "skip"))
 def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
-                     sc: PoaScores, banded: bool = False,
+                     sc: PoaScores, banded: bool = False, msa: bool = False,
                      interpret: bool = False, skip: tuple = ()):
-    """Consensus for a batch of windows.  Same contract as the XLA program in
-    models/poa.py (msa=False): returns (codes (W, MCp), covs (W, MCp),
-    length (W,), rows placeholder, n_cols placeholder, status (W,))."""
+    """Consensus (+ optional MSA) for a batch of windows.  Same contract as
+    the XLA program in models/poa.py: returns (codes (W, MCp),
+    covs (W, MCp), length (W,), rows (W, S, MCOLp), n_cols (W,),
+    status (W,))."""
     W = seqs.shape[0]
-    kernel, d = build_poa_kernel(bs, sc, banded, skip)
+    kernel, d = build_poa_kernel(bs, sc, banded, msa, skip)
     N, S, L, L1, MC = d["N"], d["S"], d["L"], d["L1"], d["MC"]
+    MCOL = round_up(N, 128)
 
     # VMEM: shifted lane-oriented char rows (lane j holds seq[j-1])
     pad1 = jnp.full((W, S, 1), -1, jnp.int32)
@@ -641,32 +716,45 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
                             lambda w: (w,) + (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
-    codes, covs, meta_out = pl.pallas_call(
+    out_specs = [vspec(1, MC), vspec(1, MC), vspec(1, 128)]
+    out_shape = [jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
+                 jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
+                 jax.ShapeDtypeStruct((W, 1, 128), jnp.int32)]
+    scratch = [
+        pltpu.SMEM((14, N), jnp.int32),          # node fields
+        pltpu.SMEM((d["P"], N), jnp.int32),      # pred
+        pltpu.SMEM((d["P"], N), jnp.int32),      # predw
+        pltpu.SMEM((d["A"], N), jnp.int32),      # alig
+        pltpu.SMEM((1, d["TL"]), jnp.int32),     # path nodes
+        pltpu.SMEM((1, d["TL"]), jnp.int32),     # path positions
+        pltpu.VMEM((N + 1, L1), jnp.int32),      # scores matrix
+    ]
+    if msa:
+        out_specs.append(vspec(S, MCOL))
+        out_shape.append(jax.ShapeDtypeStruct((W, S, MCOL), jnp.int32))
+        scratch.insert(6, pltpu.SMEM((S, L), jnp.int32))   # per-seq paths
+
+    outs = pl.pallas_call(
         kernel,
         grid=(W,),
         in_specs=[vspec(S, L1),                     # seqsh (vector rows)
                   sspec(S, L), sspec(S, L),         # seq/weights scalars
                   sspec(1, 128),                    # lens + n_seqs
                   sspec(1, N), sspec(1, N), sspec(1, N)],
-        out_specs=(vspec(1, MC), vspec(1, MC), vspec(1, 128)),
-        out_shape=(jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
-                   jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
-                   jax.ShapeDtypeStruct((W, 1, 128), jnp.int32)),
-        scratch_shapes=[
-            pltpu.SMEM((14, N), jnp.int32),          # node fields
-            pltpu.SMEM((d["P"], N), jnp.int32),      # pred
-            pltpu.SMEM((d["P"], N), jnp.int32),      # predw
-            pltpu.SMEM((d["A"], N), jnp.int32),      # alig
-            pltpu.SMEM((1, d["TL"]), jnp.int32),     # path nodes
-            pltpu.SMEM((1, d["TL"]), jnp.int32),     # path positions
-            pltpu.VMEM((N + 1, L1), jnp.int32),      # scores matrix
-        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=scratch,
         interpret=interpret,
     )(seqsh, seqs.astype(jnp.int32), weights.astype(jnp.int32), meta,
       base0, cov0, ew0)
 
+    codes, covs, meta_out = outs[0], outs[1], outs[2]
     length = meta_out[:, 0, 0]
     status = meta_out[:, 0, 1]
-    rows = jnp.zeros((W, S, 1), jnp.int32)
-    n_cols = jnp.zeros((W,), jnp.int32)
+    if msa:
+        rows = outs[3]
+        n_cols = meta_out[:, 0, 3]
+    else:
+        rows = jnp.zeros((W, S, 1), jnp.int32)
+        n_cols = jnp.zeros((W,), jnp.int32)
     return codes[:, 0, :], covs[:, 0, :], length, rows, n_cols, status

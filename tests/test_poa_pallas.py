@@ -89,6 +89,33 @@ def test_banded_and_band_failure(rng):
     _assert_equal(bs1, [["ACGTACGTAC", "ACGTACGTAC"]], banded=True)
 
 
+def test_msa_matches_xla(rng):
+    groups = []
+    for _ in range(5):
+        base = generate_random_genome(int(rng.integers(12, 38)), rng)
+        n = int(rng.integers(2, 5))
+        groups.append([base] + [
+            mutate_sequence(base, int(rng.integers(1, 5)), rng)[:48]
+            for _ in range(n - 1)])
+    groups += [["ACGT"], ["TTTT", "AAAA", "TAT"]]
+    sc = PoaScores()
+    seqs, weights, lens, n_seqs = _pack(BS, groups)
+    prog = _build_program(BS, sc, True)
+    ref = tuple(np.asarray(o) for o in prog(seqs, weights, lens, n_seqs))
+    got = tuple(np.asarray(o) for o in poa_batch_pallas(
+        jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
+        jnp.asarray(n_seqs), BS, sc, msa=True, interpret=True))
+    for wi in range(len(groups)):
+        assert ref[5][wi] == got[5][wi]
+        if ref[5][wi] != 0:
+            continue
+        nc = int(ref[4][wi])
+        assert int(got[4][wi]) == nc
+        for si in range(int(n_seqs[wi])):
+            np.testing.assert_array_equal(ref[3][wi, si, :nc],
+                                          got[3][wi, si, :nc])
+
+
 def test_alternative_scores(rng):
     base = generate_random_genome(30, rng)
     groups = [[base, mutate_sequence(base, 4, rng)[:48],
