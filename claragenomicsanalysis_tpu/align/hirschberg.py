@@ -24,7 +24,6 @@ from ..core.status import StatusType
 from ..ops import nw_band
 from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 from ..utils.genomeutils import encode
-from ..utils.mathutils import round_up
 
 BASE_Q = 32  # fragments with query side <= BASE_Q solve directly
 
