@@ -15,9 +15,13 @@ algorithm it is not guaranteed to equal the dense canonical tie-break path —
 same caveat as the reference's Hirschberg vs its own full-matrix Myers.
 """
 
+import functools
 from dataclasses import dataclass
 
 import numpy as np
+
+import jax
+import jax.numpy as jnp
 
 from ..core.config import AlignerConfig
 from ..core.status import StatusType
@@ -116,24 +120,41 @@ def _split_level(split: list[_Frag], qcodes, tcodes) -> list[_Frag]:
 
     Lq = _p2(max(len(x) for x in fwd_q + rev_q), 8)
     Lt = _p2(max(len(x) for x in fwd_t), 8)
-    Bp = _p2(2 * len(split), 8)
-    q = _pad_batch(fwd_q + rev_q, Lq, Bp)
-    t = _pad_batch(fwd_t + rev_t, Lt, Bp)
+    n = len(split)
+    half = _p2(n, 4)                      # fwd half at [0, half), rev after
+    Bp = 2 * half
+    q = np.concatenate([_pad_batch(fwd_q, Lq, half),
+                        _pad_batch(rev_q, Lq, half)])
+    t = np.concatenate([_pad_batch(fwd_t, Lt, half),
+                        _pad_batch(rev_t, Lt, half)])
     qlen = np.zeros(Bp, np.int32)
     tlen = np.zeros(Bp, np.int32)
-    qlen[: 2 * len(split)] = [len(x) for x in fwd_q + rev_q]
-    tlen[: 2 * len(split)] = [len(x) for x in fwd_t + rev_t]
-    rows, _ = myers_bottom_row(q, qlen, t, tlen)
-    rows = np.asarray(rows)
+    qlen[:n] = [len(x) for x in fwd_q]
+    qlen[half: half + n] = [len(x) for x in rev_q]
+    tlen[:n] = [len(x) for x in fwd_t]
+    tlen[half: half + n] = [len(x) for x in rev_t]
+    # split columns computed ON DEVICE: only (n,) ints leave the chip,
+    # instead of the full (Bp, Lt+1) forward+reverse row matrices
+    jstars = np.asarray(_split_points(
+        myers_bottom_row(q, qlen, t, tlen)[0], jnp.asarray(tlen), half))
 
     out: list[_Frag] = []
-    n = len(split)
     for i, (f, m) in enumerate(zip(split, mids)):
-        mlen = f.thi - f.tlo
-        fr = rows[i, : mlen + 1]
-        rr = rows[n + i, : mlen + 1]
-        total = fr + rr[::-1]
-        jstar = int(np.argmin(total))  # ties -> smallest column
+        jstar = int(jstars[i])
         out.append(_Frag(f.pair, f.qlo, m, f.tlo, f.tlo + jstar))
         out.append(_Frag(f.pair, m, f.qhi, f.tlo + jstar, f.thi))
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("half",))
+def _split_points(rows, tlen, half: int):
+    """jstar[i] = argmin_j (fwd_rows[i, j] + rev_rows[i, mlen-j]) for
+    j in [0, mlen], ties -> smallest j (mlen = tlen[i])."""
+    fr = rows[:half]                      # (half, Lt+1)
+    rr = rows[half: 2 * half]
+    mlen = tlen[:half][:, None]           # == tlen[half:2*half] by constr.
+    jj = jnp.arange(fr.shape[1], dtype=jnp.int32)[None, :]
+    rrv = jnp.take_along_axis(rr, jnp.clip(mlen - jj, 0, fr.shape[1] - 1),
+                              axis=1)
+    total = jnp.where(jj <= mlen, fr + rrv, jnp.int32(2**30))
+    return jnp.argmin(total, axis=1).astype(jnp.int32)

@@ -106,3 +106,20 @@ def test_hirschberg_identical_and_empty():
     assert res[0].edit_distance == 0
     assert res[0].convert_to_cigar() == "160M"
     assert res[1].convert_to_cigar() == "4D"
+
+
+def test_myers_long_pair_routes_to_hirschberg(rng):
+    """A pair whose banded traceback would exceed TB_BYTES_PER_PROBLEM must
+    still produce an optimal path (cost == Myers edit distance)."""
+    a = generate_random_genome(2040, rng)
+    b = mutate_sequence(a, 45, rng)
+    aligner = create_aligner(2048, 2200, 2, algorithm="myers")
+    aligner.add_alignment(a, b)
+    (res,) = aligner.get_alignments()
+    assert res.status == StatusType.SUCCESS
+    cost = sum(1 for s in res.path if s != 0)
+    assert cost == res.edit_distance
+    # the path must be a valid global alignment of the full pair
+    qc = sum(1 for s in res.path if s in (0, 1, 2))
+    tc = sum(1 for s in res.path if s in (0, 1, 3))
+    assert (qc, tc) == (len(a), len(b))
