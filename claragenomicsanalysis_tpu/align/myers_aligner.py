@@ -58,9 +58,11 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     hirsch: list[int] = []
     Lq = q.shape[1]
     for b in range(B):
+        if qlen[b] == 0 and tlen[b] == 0:
+            continue                      # batch-padding rows: empty path
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
-        if (queries is not None
+        if (queries is not None and b < len(queries)
                 and Lq * nw_band.band_width(r) > TB_BYTES_PER_PROBLEM):
             hirsch.append(b)
         else:
