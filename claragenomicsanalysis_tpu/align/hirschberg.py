@@ -86,6 +86,9 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
 def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
     """Solve small fragments with the canonical banded-NW kernel, bucketed by
     power-of-two band radius (r = max side covers any path)."""
+    from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
+    use_pallas = pallas_available()
+    nw_fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
     buckets: dict[int, list[_Frag]] = {}
     for f in base:
         side = max(f.qhi - f.qlo, f.thi - f.tlo, 1)
@@ -103,8 +106,9 @@ def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
         tlen = np.zeros(Bp, np.int32)
         qlen[: len(fs)] = [len(x) for x in qs]
         tlen[: len(fs)] = [len(x) for x in ts]
-        _, tb = nw_band.banded_nw(q, qlen, t, tlen, r)
-        sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r)
+        _, tb = nw_fn(q, qlen, t, tlen, r)
+        sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r,
+                                      packed=use_pallas)
         for f, p in zip(fs, sub):
             pieces[f.pair].append((f.qlo, f.tlo, p))
 

@@ -72,7 +72,7 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
         sel = np.array(idxs)
         _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
         sub_paths = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
-                                            tlen[sel], r)
+                                            tlen[sel], r, packed=use_pallas)
         for k, b in enumerate(idxs):
             paths[b] = sub_paths[k]
 

@@ -21,7 +21,8 @@ _lib = ctypes.CDLL(_LIB_PATH)
 _lib.cga_tb_decode.restype = ctypes.c_void_p
 _lib.cga_tb_decode.argtypes = [
     ctypes.c_void_p, ctypes.c_long, ctypes.c_long, ctypes.c_long,
-    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int]
+    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_int,
+    ctypes.c_int]
 _lib.cga_tb_path_len.restype = ctypes.c_long
 _lib.cga_tb_path_len.argtypes = [ctypes.c_void_p, ctypes.c_long]
 _lib.cga_tb_path.restype = ctypes.c_void_p
@@ -32,20 +33,23 @@ _lib.cga_tb_free.argtypes = [ctypes.c_void_p]
 
 
 def decode(tb: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
-           band_radius: int, extended: bool = False):
-    """Decode an (Lq, B, W) uint8 traceback array.
+           band_radius: int, extended: bool = False, packed: bool = False):
+    """Decode a traceback array: (Lq, B, W) one code per byte, or — with
+    packed — (ceil(Lq/4), B, W) four 2-bit codes per byte (the Pallas
+    kernel's format).
 
     Returns (paths, cigars): per-problem forward-order AlignmentState code
     lists and CIGAR strings (compact M/I/D unless extended)."""
-    tb = np.ascontiguousarray(tb, dtype=np.uint8)
+    tb = np.ascontiguousarray(np.asarray(tb).view(np.uint8))
     qlen = np.ascontiguousarray(qlen, dtype=np.int32)
     tlen = np.ascontiguousarray(tlen, dtype=np.int32)
-    Lq, B, W = tb.shape
+    rows, B, W = tb.shape
+    Lq = rows * 4 if packed else rows
     h = _lib.cga_tb_decode(
         tb.ctypes.data_as(ctypes.c_void_p), Lq, B, W,
         qlen.ctypes.data_as(ctypes.c_void_p),
         tlen.ctypes.data_as(ctypes.c_void_p),
-        band_radius, 1 if extended else 0)
+        band_radius, 1 if extended else 0, 1 if packed else 0)
     if not h:
         raise MemoryError("native traceback allocation failed")
     try:

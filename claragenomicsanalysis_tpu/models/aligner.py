@@ -172,7 +172,8 @@ class Aligner:
         scores, tb = fn(q, qlen, t, tlen, cfg.band_radius)
         scores = np.asarray(scores)
         tb = np.asarray(tb)
-        paths = nw_band.traceback_paths(tb, qlen, tlen, cfg.band_radius)
+        paths = nw_band.traceback_paths(tb, qlen, tlen, cfg.band_radius,
+                                        packed=use_pallas)
         statuses = np.where(scores >= nw_band.INF,
                             int(StatusType.EXCEEDED_MAX_ALIGNMENT_DIFFERENCE),
                             int(StatusType.SUCCESS))

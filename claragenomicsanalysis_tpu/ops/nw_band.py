@@ -132,28 +132,32 @@ def banded_nw(q: jnp.ndarray, qlen: jnp.ndarray, t: jnp.ndarray,
 
 
 def traceback_paths(tb: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
-                    band_radius: int,
-                    use_native: str = "auto") -> list[list[int]]:
+                    band_radius: int, use_native: str = "auto",
+                    packed: bool = False) -> list[list[int]]:
     """Host-side decode of the banded traceback array into edit paths.
 
-    Dispatches to the native C++ decoder (native/traceback.cpp) when built —
-    a single linear scan per problem.  The pure-Python fallback below walks
-    all B problems in lockstep with vectorized NumPy (the per-problem
-    walk is inherently serial — O(n+m) steps — but all problems advance
-    together, mirroring the reference's dedicated backtrace kernel
-    (reference: cudaaligner/src/ukkonen_gpu.cu backtrace phase [U])).
-    Returns AlignmentState code lists in forward (left-to-right) order;
-    both decoders produce identical paths (asserted by tests).
+    packed=True decodes the Pallas kernel's 2-bit format (four DP rows per
+    int8 byte, shape (Lq//4, B, W)); packed=False the scan backend's one
+    code per byte.  Dispatches to the native C++ decoder
+    (native/traceback.cpp) when built — a single linear scan per problem.
+    The pure-Python fallback below walks all B problems in lockstep with
+    vectorized NumPy (the per-problem walk is inherently serial — O(n+m)
+    steps — but all problems advance together, mirroring the reference's
+    dedicated backtrace kernel (reference: cudaaligner/src/ukkonen_gpu.cu
+    backtrace phase [U])).  Returns AlignmentState code lists in forward
+    (left-to-right) order; both decoders produce identical paths (asserted
+    by tests).
     """
     if use_native in ("auto", "native"):
         try:
             from ..io import native_traceback
-            paths, _ = native_traceback.decode(tb, qlen, tlen, band_radius)
+            paths, _ = native_traceback.decode(tb, qlen, tlen, band_radius,
+                                               packed=packed)
             return paths
         except ImportError:
             if use_native == "native":
                 raise
-    tb = np.asarray(tb)
+    tb = np.asarray(tb).view(np.uint8)     # logical shifts for packed bytes
     qlen = np.asarray(qlen).astype(np.int64)
     tlen = np.asarray(tlen).astype(np.int64)
     B = tb.shape[1]
@@ -171,8 +175,14 @@ def traceback_paths(tb: np.ndarray, qlen: np.ndarray, tlen: np.ndarray,
         read = active & (i > 0)
         code = np.zeros(B, dtype=np.uint8)
         lanes = np.clip(r + j - i, 0, tb.shape[2] - 1)
-        rows = np.clip(i - 1, 0, tb.shape[0] - 1)
-        code[read] = tb[rows[read], np.nonzero(read)[0], lanes[read]]
+        if packed:
+            rows = np.clip((i - 1) >> 2, 0, tb.shape[0] - 1)
+            byte = tb[rows[read], np.nonzero(read)[0], lanes[read]]
+            code[read] = (byte >> (2 * ((i[read] - 1) & 3)).astype(np.uint8)
+                          ) & 3
+        else:
+            rows = np.clip(i - 1, 0, tb.shape[0] - 1)
+            code[read] = tb[rows[read], np.nonzero(read)[0], lanes[read]]
         code[del_row] = AlignmentState.DELETION
         code_mat[s] = code
         act_mat[s] = active

@@ -10,9 +10,12 @@ formulation) and bit-identical outputs, with the DP state kept on-chip:
   128-alignment), and lets the band width round to 8 instead of 128 — an
   ~3x work saving for narrow bands.
 - Grid = (batch_tiles, Lq): TPU grid steps run sequentially, so the DP carry
-  lives in VMEM scratch across row steps (reset at row 0); only the int8
-  traceback row is written out per step — the scan backend round-trips its
-  whole carry through HBM every row.
+  lives in VMEM scratch across row steps (reset at row 0); traceback move
+  codes are 2-BIT PACKED, four DP rows per int8 byte — the tb array is the
+  kernel's only big output and (through the ~20 MB/s remote-TPU transfer
+  path) the dominant cost of host-side path decoding, so the packing is a
+  4x end-to-end win; decoders unpack inline (ops/nw_band.traceback_paths,
+  native/traceback.cpp).
 - The within-row deletion chain is a Hillis–Steele min-plus prefix scan over
   sublanes (log2(W) roll+min steps).
 - **int16 DP state** whenever max(Lq, Lt) < 8192 (always, for read-scale
@@ -88,6 +91,7 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
     prev = prev_ref[:]
     final = final_ref[:]
     base = chunk * R
+    acc = jnp.zeros((W, LANE_TILE), jnp.int32)
 
     for rr in range(R):                   # static unroll: R rows per step
         i = base + rr + 1                 # DP row 1..Lq
@@ -116,14 +120,18 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
         cur = jnp.where(valid, c + krow_dp, inf)
 
         left = _shift_from_lower_sub(cur, 1, krow, inf)
-        # select in the DP dtype, single cast to int8 at the end (Mosaic
-        # cannot relayout an (8,128)-tiled i1 mask onto (32,128) int8 lanes)
+        # select in the DP dtype, single cast to int8 at the packed store
+        # (Mosaic cannot relayout an (8,128)-tiled i1 mask onto (32,128)
+        # int8 lanes); four 2-bit codes accumulate per output byte
         code = jnp.where(
             cur == diag, sub,
             jnp.where(cur == left + jnp.asarray(1, dp_dtype),
                       jnp.asarray(AlignmentState.DELETION, dp_dtype),
                       jnp.asarray(AlignmentState.INSERTION, dp_dtype)))
-        tb_ref[rr] = code.astype(jnp.int8)
+        acc = acc | (code.astype(jnp.int32) << (2 * (rr % 4)))
+        if rr % 4 == 3:
+            tb_ref[rr // 4] = acc.astype(jnp.int8)
+            acc = jnp.zeros((W, LANE_TILE), jnp.int32)
 
         final = jnp.where(i == qlen, cur, final)
         prev = cur
@@ -143,9 +151,11 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
 @functools.partial(jax.jit, static_argnames=("band_radius", "interpret"))
 def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
                      interpret: bool = False):
-    """Drop-in replacement for ops.nw_band.banded_nw.
+    """Banded NW with on-chip DP state.
 
-    Returns (scores (B,) int32, tb (Lq, B, W_sub) int8).  The batch is padded
+    Returns (scores (B,) int32, tb (Lq//4, B, W_sub) int8 with FOUR 2-bit
+    move codes per byte — decode with traceback_paths(..., packed=True)).
+    Score semantics identical to ops.nw_band.banded_nw; the batch is padded
     internally to a multiple of 128.
     """
     B, Lq0 = q.shape
@@ -199,12 +209,12 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
         out_specs=(
             pl.BlockSpec((1, LANE_TILE), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, W, LANE_TILE), lambda b, i: (i, 0, b),
+            pl.BlockSpec((R // 4, W, LANE_TILE), lambda b, i: (i, 0, b),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((1, Bp), jnp.int32),
-            jax.ShapeDtypeStruct((Lq, W, Bp), jnp.int8),
+            jax.ShapeDtypeStruct((Lq // 4, W, Bp), jnp.int8),
         ),
         scratch_shapes=[
             pltpu.VMEM((W, LANE_TILE), dp_dtype),   # prev row

@@ -39,11 +39,13 @@ void append_run(std::string* cigar, long count, char op) {
 
 extern "C" {
 
-// tb: (Lq, B, W) row-major uint8; qlen/tlen: (B,) int32; r: band radius.
+// tb: row-major uint8 — (Lq, B, W) one code per byte when packed == 0, or
+// (ceil(Lq/4), B, W) four 2-bit codes per byte (DP row i at array row i/4,
+// bits 2*(i%4)) when packed == 1.  qlen/tlen: (B,) int32; r: band radius.
 // extended: 0 -> M/I/D CIGAR ops (match+mismatch fold to M), 1 -> =/X/I/D.
 void* cga_tb_decode(const uint8_t* tb, long Lq, long B, long W,
                     const int32_t* qlen, const int32_t* tlen, long r,
-                    int extended) {
+                    int extended, int packed) {
     auto* res = new (std::nothrow) Result();
     if (!res) return nullptr;
     res->paths.resize(B);
@@ -64,7 +66,12 @@ void* cga_tb_decode(const uint8_t* tb, long Lq, long B, long W,
                 long lane = r + j - i;
                 if (lane < 0) lane = 0;
                 if (lane > W - 1) lane = W - 1;
-                code = tb[((i - 1) * B + b) * W + lane];
+                if (packed) {
+                    uint8_t byte = tb[(((i - 1) >> 2) * B + b) * W + lane];
+                    code = (byte >> (2 * ((i - 1) & 3))) & 3;
+                } else {
+                    code = tb[((i - 1) * B + b) * W + lane];
+                }
             }
             path.push_back(code);
             if (code == kMatch || code == kMismatch || code == kInsertion) --i;

@@ -60,3 +60,24 @@ def test_dispatch_default_uses_native(rng):
     tb, qlen, tlen, _, r = _tb_batch(rng, B=3)
     assert (nw_band.traceback_paths(tb, qlen, tlen, r)
             == nw_band.traceback_paths(tb, qlen, tlen, r, use_native="never"))
+
+
+def _pack2bit(tb):
+    Lq = tb.shape[0]
+    pad = (-Lq) % 4
+    tbp = np.pad(tb, ((0, pad), (0, 0), (0, 0)))
+    out = np.zeros(((Lq + pad) // 4,) + tb.shape[1:], np.uint8)
+    for i in range(4):
+        out |= (tbp[i::4] & 3) << (2 * i)
+    return out
+
+
+def test_packed_format_both_decoders(rng):
+    tb, qlen, tlen, _, r = _tb_batch(rng, B=6)
+    want = nw_band.traceback_paths(tb, qlen, tlen, r, use_native="never")
+    packed = _pack2bit(tb)
+    got_py = nw_band.traceback_paths(packed, qlen, tlen, r,
+                                     use_native="never", packed=True)
+    got_nat, _ = native_traceback.decode(packed, qlen, tlen, r, packed=True)
+    assert got_py == want
+    assert got_nat == want

@@ -31,10 +31,15 @@ def test_pallas_matches_scan_backend(rng):
     s_pl, tb_pl = banded_nw_pallas(q, qlen, t, tlen, r, interpret=True)
     np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_pl))
     # traceback arrays must agree wherever the walk can visit (valid cells);
-    # compare decoded paths — the semantic output
+    # compare decoded paths — the semantic output (pallas tb is 2-bit packed)
     p_scan = nw_band.traceback_paths(np.asarray(tb_scan), qlen, tlen, r)
-    p_pl = nw_band.traceback_paths(np.asarray(tb_pl), qlen, tlen, r)
+    p_pl = nw_band.traceback_paths(np.asarray(tb_pl), qlen, tlen, r,
+                                   packed=True)
     assert p_scan == p_pl
+    # both decoders must agree on the packed format too
+    p_py = nw_band.traceback_paths(np.asarray(tb_pl), qlen, tlen, r,
+                                   packed=True, use_native="never")
+    assert p_py == p_pl
 
 
 def test_pallas_internal_batch_padding(rng):
@@ -43,5 +48,6 @@ def test_pallas_internal_batch_padding(rng):
     q, qlen, t, tlen = _pack(pairs, 8, 8)
     s, tb = banded_nw_pallas(q, qlen, t, tlen, 4, interpret=True)
     assert list(np.asarray(s)) == [1, 1, 0]
-    paths = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, 4)
+    paths = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, 4,
+                                    packed=True)
     assert len(paths) == 3 and paths[2] == [0, 0]
