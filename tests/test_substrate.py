@@ -111,8 +111,11 @@ def test_buffer_plans():
 
 
 def test_mapper_config_k_bound():
+    MapperConfig(kmer_size=16)            # hashed mode: k up to 31
     with pytest.raises(ValueError):
-        MapperConfig(kmer_size=16)
+        MapperConfig(kmer_size=32)
+    with pytest.raises(ValueError):
+        MapperConfig(kmer_size=16, hash_representations=False)
 
 
 def test_directed_graph_dot():
