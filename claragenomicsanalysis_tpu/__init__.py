@@ -26,3 +26,45 @@ reconstructed in SURVEY.md (the mount was empty; see its provenance note).
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import claragenomicsanalysis_tpu` free of
+    jax initialization): the reference-parity surfaces re-exported."""
+    import importlib
+    lazy = {
+        "create_aligner": ("claragenomicsanalysis_tpu.models.aligner",
+                           "create_aligner"),
+        "Aligner": ("claragenomicsanalysis_tpu.models.aligner", "Aligner"),
+        "Alignment": ("claragenomicsanalysis_tpu.models.aligner",
+                      "Alignment"),
+        "create_batch": ("claragenomicsanalysis_tpu.models.poa",
+                         "create_batch"),
+        "Batch": ("claragenomicsanalysis_tpu.models.poa", "Batch"),
+        "Index": ("claragenomicsanalysis_tpu.models.mapper", "Index"),
+        "Matcher": ("claragenomicsanalysis_tpu.models.mapper", "Matcher"),
+        "Overlapper": ("claragenomicsanalysis_tpu.models.mapper",
+                       "Overlapper"),
+        "map_all_vs_all": ("claragenomicsanalysis_tpu.models.mapper",
+                           "map_all_vs_all"),
+        "run_pipeline": ("claragenomicsanalysis_tpu.models.pipeline",
+                         "run_pipeline"),
+        "create_fasta_parser": ("claragenomicsanalysis_tpu.io.fasta",
+                                "create_fasta_parser"),
+        "AlignerConfig": ("claragenomicsanalysis_tpu.core.config",
+                          "AlignerConfig"),
+        "BatchSize": ("claragenomicsanalysis_tpu.core.config", "BatchSize"),
+        "PoaScores": ("claragenomicsanalysis_tpu.core.config", "PoaScores"),
+        "MapperConfig": ("claragenomicsanalysis_tpu.core.config",
+                         "MapperConfig"),
+        "PipelineConfig": ("claragenomicsanalysis_tpu.core.config",
+                           "PipelineConfig"),
+        "StatusType": ("claragenomicsanalysis_tpu.core.status",
+                       "StatusType"),
+        "OutputType": ("claragenomicsanalysis_tpu.core.status",
+                       "OutputType"),
+    }
+    if name in lazy:
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
