@@ -83,8 +83,24 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
     MCOL = round_up(N, 128)
 
-    def kernel(seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s,
-               *out_and_scratch):
+    def kernel(*refs):
+        """WPG independent windows per grid step (WPG set by the wrapper):
+        their op streams have no data dependencies, giving the scheduler
+        scalar/vector overlap across windows.  Each window's state is a
+        static sub-ref of the stacked scratch buffers."""
+        n_in = 7
+        n_out = 4 if msa else 3
+        ins = refs[:n_in]
+        outs = refs[n_in: n_in + n_out]
+        scratch = refs[n_in + n_out:]
+        wpg = scratch[0].shape[0]
+        for wi in range(wpg):
+            one_window(*(r.at[wi] for r in ins),
+                       *(r.at[wi] for r in outs),
+                       *(r.at[wi] for r in scratch))
+
+    def one_window(seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s,
+                   *out_and_scratch):
         if msa:
             (codes_ref, covs_ref, meta_out_ref, rows_ref,
              nf, pred_s, predw_s, alig_s, pn_s, pp_s, paths_s,
@@ -670,10 +686,11 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
-                                             "interpret", "skip"))
+                                             "interpret", "skip", "WPG"))
 def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
                      sc: PoaScores, banded: bool = False, msa: bool = False,
-                     interpret: bool = False, skip: tuple = ()):
+                     interpret: bool = False, skip: tuple = (),
+                     WPG: int = 1):
     """Consensus (+ optional MSA) for a batch of windows.  Same contract as
     the XLA program in models/poa.py: returns (codes (W, MCp),
     covs (W, MCp), length (W,), rows (W, S, MCOLp), n_cols (W,),
@@ -706,37 +723,47 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
                           axis=1)
     ew0 = to_n(w0m, 0)
 
+    # WPG independent windows per grid step: their traced op streams are
+    # dependency-free, letting the scheduler overlap one window's scalar
+    # (SMEM) phases with another's vector (VMEM) work
+    Wp = round_up(W, WPG)
+
+    def padw(x):
+        return jnp.pad(x, ((0, Wp - W),) + ((0, 0),) * (x.ndim - 1))
+
     def vspec(*shape):
-        return pl.BlockSpec((None,) + shape,
+        return pl.BlockSpec((WPG,) + shape,
                             lambda w: (w,) + (0,) * len(shape),
                             memory_space=pltpu.VMEM)
 
     def sspec(*shape):
-        return pl.BlockSpec((None,) + shape,
+        return pl.BlockSpec((WPG,) + shape,
                             lambda w: (w,) + (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
     out_specs = [vspec(1, MC), vspec(1, MC), vspec(1, 128)]
-    out_shape = [jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
-                 jax.ShapeDtypeStruct((W, 1, MC), jnp.int32),
-                 jax.ShapeDtypeStruct((W, 1, 128), jnp.int32)]
+    out_shape = [jax.ShapeDtypeStruct((Wp, 1, MC), jnp.int32),
+                 jax.ShapeDtypeStruct((Wp, 1, MC), jnp.int32),
+                 jax.ShapeDtypeStruct((Wp, 1, 128), jnp.int32)]
+    # sliced (middle) dims must be 8-aligned for sub-ref slicing
     scratch = [
-        pltpu.SMEM((14, N), jnp.int32),          # node fields
-        pltpu.SMEM((d["P"], N), jnp.int32),      # pred
-        pltpu.SMEM((d["P"], N), jnp.int32),      # predw
-        pltpu.SMEM((d["A"], N), jnp.int32),      # alig
-        pltpu.SMEM((1, d["TL"]), jnp.int32),     # path nodes
-        pltpu.SMEM((1, d["TL"]), jnp.int32),     # path positions
-        pltpu.VMEM((N + 1, L1), jnp.int32),      # scores matrix
+        pltpu.SMEM((WPG, 16, N), jnp.int32),                   # node fields
+        pltpu.SMEM((WPG, round_up(d["P"], 8), N), jnp.int32),  # pred
+        pltpu.SMEM((WPG, round_up(d["P"], 8), N), jnp.int32),  # predw
+        pltpu.SMEM((WPG, round_up(d["A"], 8), N), jnp.int32),  # alig
+        pltpu.SMEM((WPG, 8, d["TL"]), jnp.int32),              # path nodes
+        pltpu.SMEM((WPG, 8, d["TL"]), jnp.int32),              # path posns
+        pltpu.VMEM((WPG, round_up(N + 1, 8), L1), jnp.int32),  # scores
     ]
     if msa:
         out_specs.append(vspec(S, MCOL))
-        out_shape.append(jax.ShapeDtypeStruct((W, S, MCOL), jnp.int32))
-        scratch.insert(6, pltpu.SMEM((S, L), jnp.int32))   # per-seq paths
+        out_shape.append(jax.ShapeDtypeStruct((Wp, S, MCOL), jnp.int32))
+        scratch.insert(6, pltpu.SMEM((WPG, round_up(S, 8), L),
+                                     jnp.int32))               # paths
 
     outs = pl.pallas_call(
         kernel,
-        grid=(W,),
+        grid=(Wp // WPG,),
         in_specs=[vspec(S, L1),                     # seqsh (vector rows)
                   sspec(S, L), sspec(S, L),         # seq/weights scalars
                   sspec(1, 128),                    # lens + n_seqs
@@ -745,16 +772,17 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(seqsh, seqs.astype(jnp.int32), weights.astype(jnp.int32), meta,
-      base0, cov0, ew0)
+    )(padw(seqsh), padw(seqs.astype(jnp.int32)),
+      padw(weights.astype(jnp.int32)), padw(meta),
+      padw(base0), padw(cov0), padw(ew0))
 
     codes, covs, meta_out = outs[0], outs[1], outs[2]
-    length = meta_out[:, 0, 0]
-    status = meta_out[:, 0, 1]
+    length = meta_out[:W, 0, 0]
+    status = meta_out[:W, 0, 1]
     if msa:
-        rows = outs[3]
-        n_cols = meta_out[:, 0, 3]
+        rows = outs[3][:W]
+        n_cols = meta_out[:W, 0, 3]
     else:
         rows = jnp.zeros((W, S, 1), jnp.int32)
         n_cols = jnp.zeros((W,), jnp.int32)
-    return codes[:, 0, :], covs[:, 0, :], length, rows, n_cols, status
+    return codes[:W, 0, :], covs[:W, 0, :], length, rows, n_cols, status
