@@ -82,6 +82,8 @@ def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
 class Batch:
     """POA batch over padded windows (reference: cudapoa Batch [U])."""
 
+    _next_id = 0
+
     def __init__(self, batch_size: BatchSize | None = None,
                  scores: PoaScores | None = None,
                  output_mask: int = OutputType.CONSENSUS,
@@ -93,6 +95,8 @@ class Batch:
         self.max_poas = max_poas
         self.banded_alignment = banded_alignment
         self.backend = backend
+        self._batch_id = Batch._next_id
+        Batch._next_id += 1
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
         self._out = None
@@ -118,6 +122,10 @@ class Batch:
 
     def get_total_poas(self) -> int:
         return len(self._groups)
+
+    def batch_id(self) -> int:
+        """Unique id per Batch instance (reference: Batch::batch_id [U])."""
+        return self._batch_id
 
     def generate_poa(self) -> None:
         bs = self.batch_size
