@@ -92,11 +92,38 @@ def bench_mapper():
                       f"{dt*1e3:.0f} ms warm ({warm*1e3:.0f} ms cold)"}
 
 
+def bench_pipeline():
+    import time
+    from claragenomicsanalysis_tpu.core.config import (MapperConfig,
+                                                       PipelineConfig)
+    from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+    from claragenomicsanalysis_tpu.models.pipeline import run_pipeline
+    from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                      PoissonGenomeSimulator)
+
+    genome = PoissonGenomeSimulator(seed=7).build_reference(100_000)
+    sim = NoisyReadSimulator(seed=7, error_rate=0.05)
+    reads = sim.generate_reads(genome, 200, 3000)
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(r.name, r.seq) for r in reads])
+    cfg = PipelineConfig(mapper=MapperConfig(kmer_size=15, window_size=5))
+    run_pipeline(parser, cfg)
+    t0 = time.perf_counter()
+    res = run_pipeline(parser, cfg)
+    dt = time.perf_counter() - t0
+    return {"metric": "overlap->align pipeline CIGAR'd alignments/s "
+                      "(1 chip, 200x3kb reads)",
+            "value": round(len(res.paf_rows) / dt, 1),
+            "unit": "alignments/s", "vs_baseline": None,
+            "detail": f"{len(res.paf_rows)} rows, {res.n_align_failed} "
+                      f"failed, {dt:.1f} s warm"}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    for fn in (bench_poa, bench_mapper):
+    for fn in (bench_poa, bench_mapper, bench_pipeline):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # noqa: BLE001
