@@ -169,12 +169,20 @@ class Matcher:
             cap = round_up(
                 max(query_index._arrays["rep"].shape[0] * 4, 1024), 128)
         with trace_range("mapper.match"):
-            anchors, total, overflow = map_ops.match_anchors(
-                {k: jnp.asarray(v) for k, v in query_index._arrays.items()},
-                {k: jnp.asarray(v) for k, v in target_index._arrays.items()},
-                cap=cap, skip_self=cfg.skip_self_mappings)
+            qj = {k: jnp.asarray(v) for k, v in query_index._arrays.items()}
+            tj = {k: jnp.asarray(v) for k, v in target_index._arrays.items()}
+            lo, cum, total_d = map_ops.match_count(qj, tj)
+            total = int(total_d)           # the sync status needs anyway
+            # expansion capacity = pow2 bucket of the TRUE anchor count
+            # (clamped to the caller's cap): downstream chain/compact work
+            # scales with the real data, not the worst case
+            cap_eff = min(cap, max(1024,
+                                   1 << (max(total, 1) - 1).bit_length()))
+            anchors = map_ops.match_expand(
+                qj, tj, lo, cum, cap=cap_eff,
+                skip_self=cfg.skip_self_mappings)
         # anchors stay device-resident; chaining consumes them in place
-        return cls(anchors, int(total), bool(overflow))
+        return cls(anchors, total, total > cap)
 
     def anchors(self) -> dict:
         return self._anchors

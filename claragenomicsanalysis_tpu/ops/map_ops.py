@@ -69,14 +69,13 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             "n_elems": n_elems}
 
 
-@functools.partial(jax.jit, static_argnames=("cap", "skip_self"))
-def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
-    """Cross-product anchors for matching representations.
+@jax.jit
+def match_count(qidx: dict, tidx: dict):
+    """Phase 1 of matching: target ranges per query element.
 
-    Returns dict of (cap,) anchor arrays + n_anchors + overflow flag.
-    Anchor order: by (query element order, target occurrence order) — i.e.
-    (q_rep, q_read, q_pos, t_read, t_pos), matching the oracle.
-    """
+    Returns (lo (C,), cum (C+1,), total) — callers sync `total` (they need
+    it for status anyway) and size the expansion capacity to the TRUE anchor
+    count (pow2-bucketed), instead of always paying for the worst case."""
     qrep = qidx["rep"]
     trep = tidx["rep"]
     # method="sort": one bitonic merge instead of 21 serial gather rounds —
@@ -86,12 +85,20 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
     hi = jnp.searchsorted(trep, qrep, side="right",
                           method="sort").astype(jnp.int32)
     cnt = jnp.where(qrep != INVALID, hi - lo, 0).astype(jnp.int32)
-    if skip_self:
-        # self-pairs are dropped per-anchor below; counts still include them,
-        # so capacity accounting is conservative (matches reference order)
-        pass
     cum = jnp.concatenate([jnp.zeros(1, jnp.int32),
                            jnp.cumsum(cnt).astype(jnp.int32)])
+    return lo, cum, cum[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "skip_self"))
+def match_expand(qidx: dict, tidx: dict, lo, cum, cap: int,
+                 skip_self: bool = True):
+    """Phase 2: cross-product anchor expansion into (cap,) arrays.
+
+    Anchor order: by (query element order, target occurrence order) — i.e.
+    (q_rep, q_read, q_pos, t_read, t_pos), matching the oracle."""
+    qrep = qidx["rep"]
+    trep = tidx["rep"]
     total = cum[-1]
     a = jnp.arange(cap, dtype=jnp.int32)
     src = jnp.searchsorted(cum, a, side="right",
@@ -105,12 +112,23 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
     t_read = tidx["read_id"][tsel]
     if skip_self:
         valid &= q_read != t_read
-    anchors = {
+    return {
         "q_read": q_read, "t_read": t_read,
         "q_pos": qidx["pos"][src], "t_pos": tidx["pos"][tsel],
         "dir": (qidx["dir"][src] ^ tidx["dir"][tsel]).astype(jnp.int32),
         "valid": valid,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("cap", "skip_self"))
+def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
+    """One-shot matching at a fixed capacity (the shard_map path; host
+    callers prefer match_count + match_expand with an adaptive cap).
+
+    Returns dict of (cap,) anchor arrays + n_anchors + overflow flag."""
+    lo, cum, total = match_count(qidx, tidx)
+    anchors = match_expand(qidx, tidx, lo, cum, cap=cap,
+                           skip_self=skip_self)
     return anchors, total, total > cap
 
 
