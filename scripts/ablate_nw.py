@@ -3,6 +3,11 @@
 Times kernel variants (some intentionally WRONG — timing only) to locate the
 bottleneck: traceback write, min-plus prefix scan, dynamic tvec slice, rows
 per grid step.  Not part of the library; results feed kernel tuning notes.
+
+Findings (v5e, 512x512 r=63): prefix scan ~45% of runtime, tb write ~17%
+(before 2-bit packing), tvec slice ~0; scan impls roll/concat equal; lax
+cummin/associative_scan unsupported in Mosaic.  This script predates the
+2-bit tb packing — it measures the unpacked variant by design.
 """
 
 import functools
