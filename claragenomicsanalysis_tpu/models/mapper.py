@@ -291,7 +291,7 @@ class MapResult:
 
 
 def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
-                   max_anchors: int = 1 << 20) -> MapResult:
+                   max_anchors: int = 1 << 24) -> MapResult:
     """The cudamapper CLI main loop (reference: cudamapper/src/main.cpp [U]):
     chunk reads by the index-size budget, loop (query batch x target batch)
     pairs through Index -> Matcher -> Overlapper, merge deterministically."""

@@ -21,7 +21,7 @@ def _pair_name(qf, ql, tf, tl) -> str:
 
 
 def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
-                             max_anchors: int = 1 << 20,
+                             max_anchors: int = 1 << 24,
                              fail_after_pairs: int | None = None):
     """Resumable all-vs-all mapping.  `fail_after_pairs` injects a crash after
     N newly-computed pairs (fault-injection hook for tests).
