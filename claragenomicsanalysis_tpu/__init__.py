@@ -61,6 +61,10 @@ def __getattr__(name):
                            "PipelineConfig"),
         "StatusType": ("claragenomicsanalysis_tpu.core.status",
                        "StatusType"),
+        "AlignmentType": ("claragenomicsanalysis_tpu.core.status",
+                          "AlignmentType"),
+        "AlignmentState": ("claragenomicsanalysis_tpu.core.status",
+                           "AlignmentState"),
         "OutputType": ("claragenomicsanalysis_tpu.core.status",
                        "OutputType"),
     }

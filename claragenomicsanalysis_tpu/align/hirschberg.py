@@ -107,8 +107,11 @@ def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
         qlen[: len(fs)] = [len(x) for x in qs]
         tlen[: len(fs)] = [len(x) for x in ts]
         _, tb = nw_fn(q, qlen, t, tlen, r)
-        sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r,
-                                      packed=use_pallas)
+        if use_pallas:
+            from ..ops.tb_decode_pallas import traceback_paths_device
+            sub = traceback_paths_device(tb, qlen, tlen, r)
+        else:
+            sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r)
         for f, p in zip(fs, sub):
             pieces[f.pair].append((f.qlo, f.tlo, p))
 

@@ -71,8 +71,12 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     for r, idxs in sorted(buckets.items()):
         sel = np.array(idxs)
         _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
-        sub_paths = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
-                                            tlen[sel], r, packed=use_pallas)
+        if use_pallas:
+            from ..ops.tb_decode_pallas import traceback_paths_device
+            sub_paths = traceback_paths_device(tb, qlen[sel], tlen[sel], r)
+        else:
+            sub_paths = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
+                                                tlen[sel], r)
         for k, b in enumerate(idxs):
             paths[b] = sub_paths[k]
 

@@ -171,9 +171,13 @@ class Aligner:
         fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
         scores, tb = fn(q, qlen, t, tlen, cfg.band_radius)
         scores = np.asarray(scores)
-        tb = np.asarray(tb)
-        paths = nw_band.traceback_paths(tb, qlen, tlen, cfg.band_radius,
-                                        packed=use_pallas)
+        if use_pallas:
+            # decode on device: only path bytes leave the chip
+            from ..ops.tb_decode_pallas import traceback_paths_device
+            paths = traceback_paths_device(tb, qlen, tlen, cfg.band_radius)
+        else:
+            paths = nw_band.traceback_paths(np.asarray(tb), qlen, tlen,
+                                            cfg.band_radius)
         statuses = np.where(scores >= nw_band.INF,
                             int(StatusType.EXCEEDED_MAX_ALIGNMENT_DIFFERENCE),
                             int(StatusType.SUCCESS))

@@ -709,11 +709,19 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
     meta = meta.at[:, 0, :S].set(lens.astype(jnp.int32))
     meta = meta.at[:, 0, S].set(n_seqs.astype(jnp.int32))
 
+    # Per-window sub-refs (block.at[wi]) must slice on aligned extents:
+    # sublane dims 8-aligned, lane dims 128-aligned (Mosaic tiles storage
+    # to (8,128) and rejects unaligned memref slices).  Kernel reads stay
+    # within the logical S/L/N so tail padding is never observed.
+    N128 = round_up(N, 128)
+    S8 = round_up(S, 8)
+    L128 = round_up(L, 128)
+
     def to_n(x, fill):
         x = x.astype(jnp.int32)
-        if L >= N:
-            return x[:, :N][:, None, :]
-        return jnp.pad(x, ((0, 0), (0, N - L)),
+        if L >= N128:
+            return x[:, :N128][:, None, :]
+        return jnp.pad(x, ((0, 0), (0, N128 - L)),
                        constant_values=fill)[:, None, :]
 
     base0 = to_n(seqs[:, 0, :], -1)
@@ -741,46 +749,56 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
                             lambda w: (w,) + (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
+    def pad_s(x):
+        return jnp.pad(x, ((0, 0), (0, S8 - S)) + ((0, 0),) * (x.ndim - 2))
+
+    def pad_l(x, fill=0):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, L128 - L)),
+                       constant_values=fill)
+
     out_specs = [vspec(1, MC), vspec(1, MC), vspec(1, 128)]
     out_shape = [jax.ShapeDtypeStruct((Wp, 1, MC), jnp.int32),
                  jax.ShapeDtypeStruct((Wp, 1, MC), jnp.int32),
                  jax.ShapeDtypeStruct((Wp, 1, 128), jnp.int32)]
-    # sliced (middle) dims must be 8-aligned for sub-ref slicing
+    # sub-ref slicing (scratch[i].at[wi]) requires sublane dims 8-aligned
+    # and lane dims 128-aligned; kernel loops stay at the logical N/TL
+    NS = round_up(N, 128)
+    TLS = round_up(d["TL"], 128)
     scratch = [
-        pltpu.SMEM((WPG, 16, N), jnp.int32),                   # node fields
-        pltpu.SMEM((WPG, round_up(d["P"], 8), N), jnp.int32),  # pred
-        pltpu.SMEM((WPG, round_up(d["P"], 8), N), jnp.int32),  # predw
-        pltpu.SMEM((WPG, round_up(d["A"], 8), N), jnp.int32),  # alig
-        pltpu.SMEM((WPG, 8, d["TL"]), jnp.int32),              # path nodes
-        pltpu.SMEM((WPG, 8, d["TL"]), jnp.int32),              # path posns
+        pltpu.SMEM((WPG, 16, NS), jnp.int32),                  # node fields
+        pltpu.SMEM((WPG, round_up(d["P"], 8), NS), jnp.int32),  # pred
+        pltpu.SMEM((WPG, round_up(d["P"], 8), NS), jnp.int32),  # predw
+        pltpu.SMEM((WPG, round_up(d["A"], 8), NS), jnp.int32),  # alig
+        pltpu.SMEM((WPG, 8, TLS), jnp.int32),                  # path nodes
+        pltpu.SMEM((WPG, 8, TLS), jnp.int32),                  # path posns
         pltpu.VMEM((WPG, round_up(N + 1, 8), L1), jnp.int32),  # scores
     ]
     if msa:
-        out_specs.append(vspec(S, MCOL))
-        out_shape.append(jax.ShapeDtypeStruct((Wp, S, MCOL), jnp.int32))
-        scratch.insert(6, pltpu.SMEM((WPG, round_up(S, 8), L),
+        out_specs.append(vspec(S8, MCOL))
+        out_shape.append(jax.ShapeDtypeStruct((Wp, S8, MCOL), jnp.int32))
+        scratch.insert(6, pltpu.SMEM((WPG, S8, L128),
                                      jnp.int32))               # paths
 
     outs = pl.pallas_call(
         kernel,
         grid=(Wp // WPG,),
-        in_specs=[vspec(S, L1),                     # seqsh (vector rows)
-                  sspec(S, L), sspec(S, L),         # seq/weights scalars
+        in_specs=[vspec(S8, L1),                    # seqsh (vector rows)
+                  sspec(S8, L128), sspec(S8, L128),  # seq/weights scalars
                   sspec(1, 128),                    # lens + n_seqs
-                  sspec(1, N), sspec(1, N), sspec(1, N)],
+                  sspec(1, N128), sspec(1, N128), sspec(1, N128)],
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=scratch,
         interpret=interpret,
-    )(padw(seqsh), padw(seqs.astype(jnp.int32)),
-      padw(weights.astype(jnp.int32)), padw(meta),
+    )(padw(pad_s(seqsh)), padw(pad_s(pad_l(seqs.astype(jnp.int32), -1))),
+      padw(pad_s(pad_l(weights.astype(jnp.int32)))), padw(meta),
       padw(base0), padw(cov0), padw(ew0))
 
     codes, covs, meta_out = outs[0], outs[1], outs[2]
     length = meta_out[:W, 0, 0]
     status = meta_out[:W, 0, 1]
     if msa:
-        rows = outs[3][:W]
+        rows = outs[3][:W, :S]
         n_cols = meta_out[:W, 0, 3]
     else:
         rows = jnp.zeros((W, S, 1), jnp.int32)

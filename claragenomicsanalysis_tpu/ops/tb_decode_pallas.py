@@ -1,0 +1,127 @@
+"""Pallas TPU kernel: decode banded-NW tracebacks ON DEVICE.
+
+The banded kernel's traceback array is (Lq/4, B, W) packed bytes; decoding
+on the host means downloading it (the dominant cost of CIGAR production
+through the ~20 MB/s transfer path — ~35x the final path bytes for
+Hirschberg leaf batches).  This kernel walks each problem's traceback on
+device — one problem per grid step, the walk is a scalar while-loop writing
+2-bit-decoded move codes into an SMEM output row — so only (B, TL) path
+bytes plus (B,) start offsets ever leave the chip.
+
+Semantics: identical to the VALID-problem walks of
+ops/nw_band.traceback_paths (same clipping, same row-0 deletion tail);
+asserted by tests.  Problems whose band overflowed (INF score) produce
+bounded garbage, exactly like the host decoders — callers drop them by
+status.
+
+Reference counterpart: the dedicated backtrace kernel phase of
+cudaaligner/src/ukkonen_gpu.cu [U].
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils.mathutils import round_up
+
+
+def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
+            W: int, TL: int):
+    b = pl.program_id(0)
+    qlen = qlen_s[b]                       # scalar-prefetched (B,) arrays
+    tlen = tlen_s[b]
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    # int8 refs don't allow arbitrary dynamic sublane slices: stage the
+    # problem's packed bytes into int32 scratch once (one vector convert)
+    tb32[...] = tb_ref[...].astype(jnp.int32) & 0xFF
+
+    def cond(c):
+        i, j, k = c
+        return ((i > 0) | (j > 0)) & (k > 0)
+
+    def body(c):
+        i, j, k = c
+        lane = jnp.clip(r + j - i, 0, W - 1)
+        row = jnp.clip((i - 1) >> 2, 0, tb32.shape[0] - 1)
+        byte_row = tb32[pl.ds(row, 1), :]                # (1, W) int32
+        byte = jnp.sum(jnp.where(lane_w == lane, byte_row, 0))
+        code = (byte >> (2 * ((i - 1) & 3))) & 3
+        code = jnp.where(i == 0, 3, code)                # row 0: deletions
+        k2 = k - 1
+        path_ref[0, k2] = code
+        di = (code == 0) | (code == 1) | (code == 2)
+        dj = (code == 0) | (code == 1) | (code == 3)
+        return (i - di.astype(jnp.int32), j - dj.astype(jnp.int32), k2)
+
+    _, _, k = jax.lax.while_loop(cond, body, (qlen, tlen, jnp.int32(TL)))
+    start_ref[0, 0] = k
+
+
+@functools.partial(jax.jit, static_argnames=("band_radius", "interpret"))
+def _decode(tb, qlen, tlen, band_radius, interpret):
+    Lq4, B, W = tb.shape
+    Lq = Lq4 * 4
+    # a global path has at most qlen + tlen <= Lq + (Lq + 2r) moves within
+    # the band; round generously
+    TL = round_up(2 * Lq + 2 * band_radius + 8, 128)
+    kernel = functools.partial(_kernel, r=band_radius, W=W, TL=TL)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,             # qlen, tlen as (B,) SMEM arrays
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, Lq4, W), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, 1, TL), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((None, 1, 128), lambda b, *_: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((Lq4, W), jnp.int32)],
+    )
+    tb_b = jnp.transpose(tb, (1, 0, 2))    # (B, Lq4, W): one problem/block
+    paths, start = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, 1, TL), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(qlen, tlen, tb_b)
+    return paths[:, 0, :], start[:, 0, 0]
+
+
+#: problems per pallas_call: the scalar-prefetch length arrays and the SMEM
+#: output rows must fit the ~1 MB SMEM budget
+_DECODE_CHUNK = 8192
+
+
+def traceback_paths_device(tb, qlen, tlen, band_radius: int,
+                           interpret: bool = False) -> list[list[int]]:
+    """Drop-in for nw_band.traceback_paths on a PACKED device-resident tb:
+    decodes on device, downloads only path bytes."""
+    tb = jnp.asarray(tb)
+    qlen = jnp.asarray(qlen, jnp.int32)
+    tlen = jnp.asarray(tlen, jnp.int32)
+    B = tb.shape[1]
+    if B > _DECODE_CHUNK:                  # uniform chunks: one executable
+        Bp = round_up(B, _DECODE_CHUNK)
+        tb = jnp.pad(tb, ((0, 0), (0, Bp - B), (0, 0)))
+        qlen = jnp.pad(qlen, (0, Bp - B))
+        tlen = jnp.pad(tlen, (0, Bp - B))
+    out: list[list[int]] = []
+    for s in range(0, tb.shape[1], _DECODE_CHUNK):
+        e = s + min(_DECODE_CHUNK, tb.shape[1])
+        paths, start = _decode(tb[:, s:e], qlen[s:e], tlen[s:e],
+                               band_radius, interpret)
+        paths = np.asarray(paths)
+        start = np.asarray(start)
+        out.extend(paths[b, start[b]:].tolist()
+                   for b in range(paths.shape[0]))
+    return out[:B]

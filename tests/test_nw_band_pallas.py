@@ -51,3 +51,25 @@ def test_pallas_internal_batch_padding(rng):
     paths = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, 4,
                                     packed=True)
     assert len(paths) == 3 and paths[2] == [0, 0]
+
+
+def test_device_decode_matches_host(rng):
+    from claragenomicsanalysis_tpu.ops.tb_decode_pallas import \
+        traceback_paths_device
+    pairs = []
+    for _ in range(6):
+        a = generate_random_genome(int(rng.integers(1, 60)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 8)), rng)
+        pairs.append((a, b))
+    pairs += [("", "ACG"), ("ACGT", "")]
+    q, qlen, t, tlen = _pack(pairs, 64, 64)
+    s, tb = banded_nw_pallas(q, qlen, t, tlen, 8, interpret=True)
+    want = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, 8,
+                                   packed=True)
+    got = traceback_paths_device(np.asarray(tb), qlen, tlen, 8,
+                                 interpret=True)
+    # compare only problems with a valid in-band path (garbage walks of
+    # INF problems are bounded differently by design)
+    for b in range(len(pairs)):
+        if int(np.asarray(s)[b]) < nw_band.INF:
+            assert got[b] == want[b], b
