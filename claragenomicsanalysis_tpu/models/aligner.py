@@ -162,22 +162,52 @@ class Aligner:
             ))
         return out
 
+    #: total traceback bytes in flight per dispatch (bounds device memory
+    #: when the adaptive band is wide); buckets larger than this are chunked
+    TB_BYTES_PER_DISPATCH = 1 << 28
+
     def _run_ukkonen(self, q, qlen, t, tlen):
+        """Banded NW with the reference's adaptive Ukkonen band
+        p + |lq - lt| (reference: ukkonen_gpu.cu band sizing [U]): a pair
+        whose lengths differ by more than the configured radius is still
+        alignable — the band is widened per pair.  Pairs are bucketed by
+        power-of-two widening so only O(log L) executables exist."""
         from ..ops import nw_band
         from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
         cfg = self.config
         use_pallas = (self.backend == "pallas"
                       or (self.backend == "auto" and pallas_available()))
         fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
-        scores, tb = fn(q, qlen, t, tlen, cfg.band_radius)
-        scores = np.asarray(scores)
-        if use_pallas:
-            # decode on device: only path bytes leave the chip
-            from ..ops.tb_decode_pallas import traceback_paths_device
-            paths = traceback_paths_device(tb, qlen, tlen, cfg.band_radius)
-        else:
-            paths = nw_band.traceback_paths(np.asarray(tb), qlen, tlen,
-                                            cfg.band_radius)
+        qlen = np.asarray(qlen)
+        tlen = np.asarray(tlen)
+        B = q.shape[0]
+        dl = np.abs(qlen - tlen)
+
+        buckets: dict[int, list[int]] = {}
+        for b in range(B):
+            extra = 0 if dl[b] == 0 else max(8, 1 << int(dl[b] - 1).bit_length())
+            buckets.setdefault(cfg.band_radius + extra, []).append(b)
+
+        paths: list[list[int]] = [[] for _ in range(B)]
+        scores = np.zeros(B, dtype=np.int32)
+        Lq = q.shape[1]
+        for r, idxs in sorted(buckets.items()):
+            chunk = max(1, self.TB_BYTES_PER_DISPATCH
+                        // (Lq * nw_band.band_width(r)))
+            for s0 in range(0, len(idxs), chunk):
+                sel = np.array(idxs[s0: s0 + chunk])
+                sc, tb = fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
+                scores[sel] = np.asarray(sc)[: len(sel)]
+                if use_pallas:
+                    # decode on device: only path bytes leave the chip
+                    from ..ops.tb_decode_pallas import traceback_paths_device
+                    sub = traceback_paths_device(tb, qlen[sel], tlen[sel], r)
+                else:
+                    sub = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
+                                                  tlen[sel], r)
+                for k, b in enumerate(sel):
+                    paths[b] = sub[k]
+
         statuses = np.where(scores >= nw_band.INF,
                             int(StatusType.EXCEEDED_MAX_ALIGNMENT_DIFFERENCE),
                             int(StatusType.SUCCESS))

@@ -44,11 +44,33 @@ def test_status_overflow_paths():
     assert res[1].path == []
 
 
-def test_band_overflow_status():
+def test_adaptive_band_absorbs_length_difference():
+    """Reference parity: the Ukkonen band is p + |lq - lt| (ukkonen_gpu.cu
+    [U]) — a pair whose length difference exceeds the configured radius must
+    still align (band widens per pair), not return an overflow status."""
     aligner = create_aligner(64, 64, 4, band_radius=4)
     aligner.add_alignment("A" * 40, "A" * 4)
     res = aligner.get_alignments()
-    assert res[0].status == StatusType.EXCEEDED_MAX_ALIGNMENT_DIFFERENCE
+    assert res[0].status == StatusType.SUCCESS
+    assert res[0].edit_distance == 36
+    assert res[0].convert_to_cigar() == "36I4M"
+
+
+def test_adaptive_band_matches_dense_oracle(rng):
+    """Pairs with dl > p: widened band must reproduce the dense-canonical
+    path whenever it contains the optimal envelope."""
+    aligner = create_aligner(128, 128, 8, band_radius=8)
+    pairs = []
+    for n_del in (20, 40, 70):
+        a = generate_random_genome(100, rng)
+        b = a[: 100 - n_del]        # pure suffix deletion: s == dl == n_del
+        pairs.append((a, b))
+        aligner.add_alignment(a, b)
+    for res, (a, b) in zip(aligner.get_alignments(), pairs):
+        o_path, o_dist, _ = nw.align(a, b)
+        assert res.status == StatusType.SUCCESS
+        assert res.edit_distance == o_dist == len(a) - len(b)
+        assert res.convert_to_cigar() == nw.path_to_cigar(o_path)
 
 
 def test_reset_and_reuse():
