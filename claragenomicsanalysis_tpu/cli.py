@@ -157,6 +157,9 @@ def main(argv=None) -> int:
     ap.add_argument("--log-level", default="INFO")
     ap.add_argument("--timings", action="store_true",
                     help="print per-stage timing JSON to stderr at exit")
+    ap.add_argument("--profile-dir", default="",
+                    help="write a jax.profiler trace (xplane) of the run "
+                         "here (reference: CGA_NVTX_RANGE / nsight [U])")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     a = sub.add_parser("align", help="batched pairwise global alignment")
@@ -205,7 +208,12 @@ def main(argv=None) -> int:
 
     args = ap.parse_args(argv)
     initialize_logger(args.log_level)
-    rc = args.fn(args)
+    if args.profile_dir:
+        import jax
+        with jax.profiler.trace(args.profile_dir):
+            rc = args.fn(args)
+    else:
+        rc = args.fn(args)
     if args.timings:
         print(json.dumps(stage_timings()), file=sys.stderr)
     return rc

@@ -128,25 +128,28 @@ class Aligner:
         return q, qlen, t, tlen, B
 
     def _run_batch(self) -> list[Alignment]:
+        from ..utils.profiling import trace_range
         if not self._queries:
             return []
         cfg = self.config
-        q, qlen, t, tlen, B = self._pack()
+        with trace_range("aligner.pack"):
+            q, qlen, t, tlen, B = self._pack()
 
         overlong = np.array(
             [len(qs) > cfg.max_query_length or len(ts) > cfg.max_target_length
              for qs, ts in zip(self._queries, self._targets)])
-        if self.algorithm == "hirschberg-myers":
-            from ..align.hirschberg import hirschberg_align_batch
-            paths, dists, statuses = hirschberg_align_batch(
-                self._queries, self._targets, cfg)
-        elif self.algorithm == "myers":
-            from ..align.myers_aligner import myers_align_batch
-            paths, dists, statuses = myers_align_batch(
-                q, qlen, t, tlen, cfg, backend=self.backend,
-                queries=self._queries, targets=self._targets)
-        else:
-            paths, dists, statuses = self._run_ukkonen(q, qlen, t, tlen)
+        with trace_range(f"aligner.{self.algorithm}"):
+            if self.algorithm == "hirschberg-myers":
+                from ..align.hirschberg import hirschberg_align_batch
+                paths, dists, statuses = hirschberg_align_batch(
+                    self._queries, self._targets, cfg)
+            elif self.algorithm == "myers":
+                from ..align.myers_aligner import myers_align_batch
+                paths, dists, statuses = myers_align_batch(
+                    q, qlen, t, tlen, cfg, backend=self.backend,
+                    queries=self._queries, targets=self._targets)
+            else:
+                paths, dists, statuses = self._run_ukkonen(q, qlen, t, tlen)
 
         out = []
         for b in range(B):

@@ -128,12 +128,17 @@ class Batch:
         return self._batch_id
 
     def generate_poa(self) -> None:
+        from ..utils.profiling import trace_range
         bs = self.batch_size
         S, L = bs.max_sequences_per_poa, bs.padded_seq
         W = len(self._groups)
         if W == 0:
             self._out = ([],) * 6
             return
+        with trace_range("poa.generate"):
+            self._generate(bs, S, L, W)
+
+    def _generate(self, bs, S, L, W) -> None:
         Wp = max(8, 1 << (W - 1).bit_length())
         seqs = np.full((Wp, S, L), -1, dtype=np.int32)
         weights = np.zeros((Wp, S, L), dtype=np.int32)
