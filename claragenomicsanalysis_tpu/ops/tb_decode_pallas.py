@@ -110,8 +110,11 @@ def traceback_paths_device(tb, qlen, tlen, band_radius: int,
     qlen = jnp.asarray(qlen, jnp.int32)
     tlen = jnp.asarray(tlen, jnp.int32)
     B = tb.shape[1]
-    if B > _DECODE_CHUNK:                  # uniform chunks: one executable
-        Bp = round_up(B, _DECODE_CHUNK)
+    # pow2-bucket the batch dim (uniform _DECODE_CHUNK chunks past the cap)
+    # so arbitrary caller batch sizes reuse O(log) executables
+    Bp = (min(1 << max(3, (B - 1).bit_length()), _DECODE_CHUNK)
+          if B <= _DECODE_CHUNK else round_up(B, _DECODE_CHUNK))
+    if Bp != B:
         tb = jnp.pad(tb, ((0, 0), (0, Bp - B), (0, 0)))
         qlen = jnp.pad(qlen, (0, Bp - B))
         tlen = jnp.pad(tlen, (0, Bp - B))
