@@ -12,6 +12,7 @@ traceback + masked graph extension (ops/poa_ops.py).
 """
 
 import functools
+import itertools
 
 import numpy as np
 
@@ -82,7 +83,7 @@ def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
 class Batch:
     """POA batch over padded windows (reference: cudapoa Batch [U])."""
 
-    _next_id = 0
+    _next_id = itertools.count()
 
     def __init__(self, batch_size: BatchSize | None = None,
                  scores: PoaScores | None = None,
@@ -95,8 +96,7 @@ class Batch:
         self.max_poas = max_poas
         self.banded_alignment = banded_alignment
         self.backend = backend
-        self._batch_id = Batch._next_id
-        Batch._next_id += 1
+        self._batch_id = next(Batch._next_id)  # itertools.count is atomic
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
         self._out = None
@@ -265,8 +265,8 @@ def create_batch(batch_size: BatchSize | None = None,
                  backend: str = "auto") -> Batch:
     """Factory mirroring the reference create_batch [U] (incl. its
     banded_alignment bool; band width comes from BatchSize.band_width).
-    backend: "auto" (in-kernel Pallas POA on TPU for consensus-only
-    batches, XLA program otherwise), "pallas", or "xla"."""
+    backend: "auto" (in-kernel Pallas POA on TPU — consensus and MSA —
+    XLA program on other backends), "pallas", or "xla"."""
     if scores is None and any(v is not None for v in
                               (gap_score, mismatch_score, match_score)):
         d = PoaScores()

@@ -22,8 +22,8 @@ ONE WINDOW PER GRID STEP with every phase inside the kernel:
 
 Phases mirror ops/poa_ops.py EXACTLY (same canonical tie-breaks, statuses,
 overflow clipping) and are asserted bit-identical by tests, in interpret
-mode and on device.  Consensus output only — MSA requests fall back to the
-XLA program (models/poa.py dispatches).
+mode and on device.  Handles both consensus and MSA output (msa=True path;
+models/poa.py dispatches either to this kernel).
 
 Reference counterpart: the one-CUDA-block-per-window generatePOAKernel
 pipeline (cudapoa/src/cudapoa_kernels.cu + *.cuh [U]).
@@ -696,6 +696,13 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
     covs (W, MCp), length (W,), rows (W, S, MCOLp), n_cols (W,),
     status (W,))."""
     W = seqs.shape[0]
+    if bs.max_sequences_per_poa >= 128:
+        # n_seqs lives at lane S of the 128-lane meta row; S >= 128 would
+        # silently drop the .at[] set and the kernel would read garbage.
+        raise ValueError(
+            f"max_sequences_per_poa={bs.max_sequences_per_poa} >= 128 is not "
+            "supported by the Pallas POA kernel (meta row is one 128-lane "
+            "vector); use the XLA backend for wider windows")
     kernel, d = build_poa_kernel(bs, sc, banded, msa, skip)
     N, S, L, L1, MC = d["N"], d["S"], d["L"], d["L1"], d["MC"]
     MCOL = round_up(N, 128)

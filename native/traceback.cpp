@@ -58,7 +58,13 @@ void* cga_tb_decode(const uint8_t* tb, long Lq, long B, long W,
         long j = tlen[b];
         std::vector<uint8_t>& path = res->paths[b];
         path.reserve(i + j);
-        while (i > 0 || j > 0) {
+        // Bound the walk at qlen+tlen steps (like the NumPy walker): a
+        // band-overflow problem carries garbage codes, and an unbounded walk
+        // on garbage (e.g. DELETION while j <= 0) would never terminate.
+        // Callers drop truncated paths by status.
+        const long max_steps = qlen[b] + tlen[b];
+        while ((i > 0 || j > 0) && i >= 0 && j >= 0 &&
+               static_cast<long>(path.size()) < max_steps) {
             uint8_t code;
             if (i == 0) {
                 code = kDeletion;  // row 0: pure deletion tail

@@ -62,6 +62,19 @@ def test_dispatch_default_uses_native(rng):
             == nw_band.traceback_paths(tb, qlen, tlen, r, use_native="never"))
 
 
+def test_garbage_codes_terminate():
+    # A band-overflow problem carries garbage move codes.  All-DELETION rows
+    # with i > 0 used to decrement j forever; the walk must now stop within
+    # qlen+tlen steps and leave a truncated path for callers to drop.
+    Lq, B, W = 8, 2, 16
+    tb = np.full((Lq, B, W), 3, np.uint8)  # every code = deletion
+    qlen = np.array([8, 8], np.int32)
+    tlen = np.array([2, 0], np.int32)
+    paths, cigars = native_traceback.decode(tb, qlen, tlen, 4)
+    for b in range(B):
+        assert len(paths[b]) <= qlen[b] + tlen[b] + 1
+
+
 def _pack2bit(tb):
     Lq = tb.shape[0]
     pad = (-Lq) % 4
