@@ -49,6 +49,10 @@ def __getattr__(name):
                            "map_all_vs_all"),
         "run_pipeline": ("claragenomicsanalysis_tpu.models.pipeline",
                          "run_pipeline"),
+        "correct_reads": ("claragenomicsanalysis_tpu.models.correct",
+                          "correct_reads"),
+        "CorrectConfig": ("claragenomicsanalysis_tpu.core.config",
+                          "CorrectConfig"),
         "create_fasta_parser": ("claragenomicsanalysis_tpu.io.fasta",
                                 "create_fasta_parser"),
         "AlignerConfig": ("claragenomicsanalysis_tpu.core.config",

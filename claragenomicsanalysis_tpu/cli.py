@@ -1,4 +1,4 @@
-"""Command-line interface: align | poa | map | pipeline.
+"""Command-line interface: align | poa | map | pipeline | correct | simulate.
 
 The subcommands are the sample-app analogs of the reference
 (reference: cudaaligner/samples/sample_cudaaligner.cpp,
@@ -28,6 +28,21 @@ def _add_mapper_flags(p):
     p.add_argument("--min-bases-per-residue", type=int, default=100)
     p.add_argument("--max-anchor-gap", type=int, default=5000)
     p.add_argument("--no-hashing", action="store_true")
+
+
+def _cli_mesh(args):
+    """Mesh over the first --devices local devices (None = single device).
+    Subcommands place all devices on the axis their stages shard over
+    (map: 'rep'; correct: both views via parallel.mesh.axis_meshes)."""
+    n = getattr(args, "devices", 1)
+    if n <= 1:
+        return None
+    from .parallel import make_mesh
+    import jax
+    devs = jax.devices()
+    if n > len(devs):
+        raise SystemExit(f"--devices {n} but only {len(devs)} available")
+    return make_mesh(data=n, devices=devs[:n])
 
 
 def _mapper_cfg(args) -> MapperConfig:
@@ -102,8 +117,10 @@ def cmd_poa(args) -> int:
 def cmd_map(args) -> int:
     from .io.fasta import create_fasta_parser
     from .models.mapper import map_all_vs_all, overlaps_to_paf
+    from .parallel.mesh import axis_meshes
     parser = create_fasta_parser(args.input)
-    res = map_all_vs_all(parser, _mapper_cfg(args))
+    _, mesh_rep = axis_meshes(_cli_mesh(args))
+    res = map_all_vs_all(parser, _mapper_cfg(args), mesh=mesh_rep)
     overlaps = res.overlaps
     if args.rescue_overlap_ends:
         from .models.mapper import Overlapper
@@ -138,13 +155,37 @@ def cmd_simulate(args) -> int:
     return 0
 
 
+def cmd_correct(args) -> int:
+    """Read correction (BASELINE config #5): all-vs-all map -> windowed POA
+    polish -> corrected FASTA to stdout (or --output)."""
+    from .core.config import CorrectConfig
+    from .io.fasta import create_fasta_parser
+    from .models.correct import correct_reads, write_fasta
+    parser = create_fasta_parser(args.input)
+    cfg = CorrectConfig(mapper=_mapper_cfg(args),
+                        window_length=args.window_length,
+                        max_support=args.max_support,
+                        aligner_band_radius=args.band_radius)
+    res = correct_reads(parser, cfg, mesh=_cli_mesh(args),
+                        work_dir=args.work_dir or None)
+    if args.output:
+        write_fasta(res, args.output)
+    else:
+        for name, seq in zip(res.names, res.seqs):
+            print(f">{name}\n{seq}")
+    print(f"polished {res.n_polished}/{res.n_windows} windows "
+          f"({res.n_window_failed} kept backbone after POA failure)",
+          file=sys.stderr)
+    return 0
+
+
 def cmd_pipeline(args) -> int:
     from .io.fasta import create_fasta_parser
     from .models.pipeline import run_pipeline
     parser = create_fasta_parser(args.input)
     cfg = PipelineConfig(mapper=_mapper_cfg(args),
                          aligner_band_radius=args.band_radius)
-    res = run_pipeline(parser, cfg)
+    res = run_pipeline(parser, cfg, mesh=_cli_mesh(args))
     for row in res.paf_rows:
         print(row)
     print(f"aligned {res.n_aligned} overlaps ({res.n_align_failed} failed)",
@@ -183,6 +224,8 @@ def main(argv=None) -> int:
     m = sub.add_parser("map", help="all-vs-all overlap, PAF to stdout")
     m.add_argument("input")
     _add_mapper_flags(m)
+    m.add_argument("-d", "--devices", type=int, default=1,
+                   help="shard matching over this many devices (rep axis)")
     m.add_argument("--rescue-overlap-ends", action="store_true",
                    help="extend overlap ends into similar read flanks")
     m.add_argument("--rescue-extension", type=int, default=50)
@@ -204,7 +247,27 @@ def main(argv=None) -> int:
     pl.add_argument("input")
     _add_mapper_flags(pl)
     pl.add_argument("--band-radius", type=int, default=256)
+    pl.add_argument("-d", "--devices", type=int, default=1,
+                    help="shard matching over this many devices")
     pl.set_defaults(fn=cmd_pipeline)
+
+    co = sub.add_parser("correct",
+                        help="read correction: map + windowed POA polish")
+    co.add_argument("input")
+    _add_mapper_flags(co)
+    co.add_argument("--window-length", type=int, default=500)
+    co.add_argument("--max-support", type=int, default=15,
+                    help="supporting segments per POA window")
+    co.add_argument("--band-radius", type=int, default=256,
+                    help="per-overlap re-alignment band radius")
+    co.add_argument("--work-dir", default="",
+                    help="checkpoint dir: run resumes after a crash")
+    co.add_argument("-o", "--output", default="",
+                    help="corrected FASTA path (default: stdout)")
+    co.add_argument("-d", "--devices", type=int, default=1,
+                    help="shard matching (rep axis) + POA (data axis) "
+                         "over this many devices")
+    co.set_defaults(fn=cmd_correct)
 
     args = ap.parse_args(argv)
     initialize_logger(args.log_level)

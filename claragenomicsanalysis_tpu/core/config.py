@@ -120,3 +120,26 @@ class PipelineConfig:
     mapper: MapperConfig = field(default_factory=MapperConfig)
     aligner_band_radius: int = 256
     max_alignment_length: int = 16384
+
+
+@dataclass(frozen=True)
+class CorrectConfig:
+    """Read-correction driver (new composition, BASELINE config #5):
+    all-vs-all map -> per-overlap base-exact alignment -> per-read pileup
+    windows -> batched POA consensus -> corrected reads.
+
+    The reference has no correction app; this is the pod-scale composition
+    SURVEY.md §7 step 7 names (the compute core of Racon-style polishing,
+    which consumes cudapoa; reference: cudapoa/include/claragenomics/
+    cudapoa/batch.hpp [U] is the POA surface it drives)."""
+
+    mapper: MapperConfig = field(default_factory=MapperConfig)
+    window_length: int = 500          # backbone window size (bases)
+    max_support: int = 15             # supporting segments per window
+    min_matched_bases: int = 8        # matched pairs a support must place
+    aligner_band_radius: int = 256    # per-overlap re-alignment band
+    max_alignment_length: int = 16384 # overlaps longer than this are skipped
+    # windows with fewer supports keep the backbone: with a single support
+    # every disagreeing column is a 1-vs-1 tie decided by tie-break order,
+    # which averages errors in rather than out
+    min_supports_for_poa: int = 2

@@ -164,7 +164,12 @@ class Matcher:
 
     @classmethod
     def create_matcher(cls, query_index: Index, target_index: Index,
-                       cfg: MapperConfig, cap: int | None = None) -> "Matcher":
+                       cfg: MapperConfig, cap: int | None = None,
+                       mesh=None) -> "Matcher":
+        """`mesh`: optional jax.sharding.Mesh with a 'rep' axis — the target
+        index is split into sorted-representation blocks across it and
+        per-shard anchors are all-gathered (parallel/shard.py); anchor sets
+        (and all downstream output) are identical to the 1-device path."""
         if cap is None:
             cap = round_up(
                 max(query_index._arrays["rep"].shape[0] * 4, 1024), 128)
@@ -178,9 +183,15 @@ class Matcher:
             # scales with the real data, not the worst case
             cap_eff = min(cap, max(1024,
                                    1 << (max(total, 1) - 1).bit_length()))
-            anchors = map_ops.match_expand(
-                qj, tj, lo, cum, cap=cap_eff,
-                skip_self=cfg.skip_self_mappings)
+            if mesh is not None and mesh.shape.get("rep", 1) > 1:
+                from ..parallel.shard import sharded_anchors
+                anchors, _, _ = sharded_anchors(
+                    query_index._arrays, target_index._arrays, cfg, mesh,
+                    cap=cap_eff)
+            else:
+                anchors = map_ops.match_expand(
+                    qj, tj, lo, cum, cap=cap_eff,
+                    skip_self=cfg.skip_self_mappings)
         # anchors stay device-resident; chaining consumes them in place
         return cls(anchors, total, total > cap)
 
@@ -291,10 +302,14 @@ class MapResult:
 
 
 def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
-                   max_anchors: int = 1 << 24) -> MapResult:
+                   max_anchors: int = 1 << 24, mesh=None) -> MapResult:
     """The cudamapper CLI main loop (reference: cudamapper/src/main.cpp [U]):
     chunk reads by the index-size budget, loop (query batch x target batch)
-    pairs through Index -> Matcher -> Overlapper, merge deterministically."""
+    pairs through Index -> Matcher -> Overlapper, merge deterministically.
+
+    `mesh`: optional Mesh — matching is rep-sharded across its 'rep' axis
+    (the reference's one-worker-thread-per-GPU becomes sharded XLA programs);
+    output is bit-identical for any mesh size by the canonical merge order."""
     chunks = parser.get_chunks(cfg.index_size_mb * 1_000_000)
     cache = IndexCache()
     all_overlaps: list[Overlap] = []
@@ -303,7 +318,8 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
         qidx = cache.get_or_create(parser, qf, ql, cfg)
         for (tf, tl) in chunks:
             tidx = cache.get_or_create(parser, tf, tl, cfg)
-            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors)
+            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
+                                             mesh=mesh)
             statuses.append(matcher.status)
             all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(), cfg))
     all_overlaps.sort(key=lambda o: o.key())

@@ -27,10 +27,13 @@ class PipelineResult:
 
 
 def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
-                 batch_size: int = 256) -> PipelineResult:
-    """Map all-vs-all, then globally align each overlap's spans."""
+                 batch_size: int = 256, mesh=None) -> PipelineResult:
+    """Map all-vs-all, then globally align each overlap's spans.
+    `mesh`: optional Mesh — matching shards over its 'rep' view."""
+    from ..parallel.mesh import axis_meshes
+    _, mesh_rep = axis_meshes(mesh)
     with trace_range("pipeline.map"):
-        res = map_all_vs_all(parser, cfg.mapper)
+        res = map_all_vs_all(parser, cfg.mapper, mesh=mesh_rep)
     overlaps = [o for o in res.overlaps
                 if max(o.query_end_position_in_read
                        - o.query_start_position_in_read,

@@ -89,13 +89,14 @@ class Batch:
                  scores: PoaScores | None = None,
                  output_mask: int = OutputType.CONSENSUS,
                  max_poas: int = 1024, banded_alignment: bool = False,
-                 backend: str = "auto"):
+                 backend: str = "auto", mesh=None):
         self.batch_size = batch_size or BatchSize()
         self.scores = scores or PoaScores()
         self.output_mask = OutputType(output_mask)
         self.max_poas = max_poas
         self.banded_alignment = banded_alignment
         self.backend = backend
+        self.mesh = mesh  # optional Mesh: windows sharded over 'data' axis
         self._batch_id = next(Batch._next_id)  # itertools.count is atomic
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
@@ -154,6 +155,15 @@ class Batch:
                 weights[wi, si, : len(s)] = wt
                 lens[wi, si] = len(s)
         msa = bool(self.output_mask & OutputType.MSA)
+        if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
+            # window dim sharded over the mesh 'data' axis; merging is
+            # concatenation so N-device == 1-device bit-for-bit
+            from ..parallel.shard import sharded_poa
+            program = _build_program(self.batch_size, self.scores, msa,
+                                     self.banded_alignment)
+            self._out = tuple(np.asarray(o) for o in sharded_poa(
+                program, seqs, weights, lens, n_seqs, self.mesh))
+            return
         from ..ops.nw_band_pallas import pallas_available
         use_pallas = (self.backend == "pallas"
                       or (self.backend == "auto" and pallas_available()))
@@ -262,11 +272,12 @@ def create_batch(batch_size: BatchSize | None = None,
                  mismatch_score: int | None = None,
                  match_score: int | None = None,
                  banded_alignment: bool = False,
-                 backend: str = "auto") -> Batch:
+                 backend: str = "auto", mesh=None) -> Batch:
     """Factory mirroring the reference create_batch [U] (incl. its
     banded_alignment bool; band width comes from BatchSize.band_width).
     backend: "auto" (in-kernel Pallas POA on TPU — consensus and MSA —
-    XLA program on other backends), "pallas", or "xla"."""
+    XLA program on other backends), "pallas", or "xla".
+    mesh: optional Mesh — windows are sharded over its 'data' axis."""
     if scores is None and any(v is not None for v in
                               (gap_score, mismatch_score, match_score)):
         d = PoaScores()
@@ -275,4 +286,4 @@ def create_batch(batch_size: BatchSize | None = None,
             mismatch_score=mismatch_score if mismatch_score is not None else d.mismatch_score,
             gap_score=gap_score if gap_score is not None else d.gap_score)
     return Batch(batch_size, scores, output_mask, max_poas, banded_alignment,
-                 backend)
+                 backend, mesh)

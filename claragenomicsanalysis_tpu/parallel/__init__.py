@@ -11,14 +11,16 @@ SURVEY.md §2.7).  Mesh axes:
   ring_nw.py; for pairs too long for one core).
 """
 
-from .mesh import make_mesh, local_device_count
-from .shard import (sharded_banded_nw, sharded_match_chain, sharded_poa)
+from .mesh import make_mesh, local_device_count, axis_meshes
+from .shard import (sharded_anchors, sharded_banded_nw, sharded_match_chain,
+                    sharded_poa)
 from .manifest import map_all_vs_all_resumable
 from .ring_nw import ring_wavefront_nw
 from .multihost import (initialize_distributed, make_global_mesh,
                         process_count, process_index)
 
-__all__ = ["make_mesh", "local_device_count", "sharded_banded_nw",
+__all__ = ["make_mesh", "local_device_count", "axis_meshes",
+           "sharded_anchors", "sharded_banded_nw",
            "sharded_match_chain", "sharded_poa", "map_all_vs_all_resumable",
            "ring_wavefront_nw", "initialize_distributed", "make_global_mesh",
            "process_count", "process_index"]

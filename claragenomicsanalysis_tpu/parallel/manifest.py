@@ -22,9 +22,11 @@ def _pair_name(qf, ql, tf, tl) -> str:
 
 def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
                              max_anchors: int = 1 << 24,
-                             fail_after_pairs: int | None = None):
+                             fail_after_pairs: int | None = None,
+                             mesh=None):
     """Resumable all-vs-all mapping.  `fail_after_pairs` injects a crash after
-    N newly-computed pairs (fault-injection hook for tests).
+    N newly-computed pairs (fault-injection hook for tests).  `mesh` shards
+    matching over its 'rep' axis (results identical for any mesh size).
 
     Returns (overlaps sorted canonically, n_pairs_computed, n_pairs_skipped).
     """
@@ -46,7 +48,8 @@ def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
                 continue
             qidx = cache.get_or_create(parser, qf, ql, cfg)
             tidx = cache.get_or_create(parser, tf, tl, cfg)
-            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors)
+            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
+                                             mesh=mesh)
             overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg)
             with open(os.path.join(work_dir, name + ".jsonl"), "w") as f:
                 for o in overlaps:

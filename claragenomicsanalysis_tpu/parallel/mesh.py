@@ -26,3 +26,18 @@ def make_mesh(data: int | None = None, rep: int = 1, sp: int = 1,
         raise ValueError(f"need {need} devices, have {n}")
     arr = np.array(devices[:need]).reshape(data, rep, sp)
     return Mesh(arr, ("data", "rep", "sp"))
+
+
+def axis_meshes(mesh: Mesh | None) -> tuple[Mesh | None, Mesh | None]:
+    """(data-majority, rep-majority) views over the same devices.
+
+    Drivers that combine data-sharded stages (POA windows, alignment
+    batches) with rep-sharded stages (minimizer matching) get both views of
+    one user-provided mesh: all devices on 'data' for the former, all on
+    'rep' for the latter."""
+    if mesh is None:
+        return None, None
+    devs = np.asarray(mesh.devices).reshape(-1)
+    n = devs.size
+    return (Mesh(devs.reshape(n, 1, 1), ("data", "rep", "sp")),
+            Mesh(devs.reshape(1, n, 1), ("data", "rep", "sp")))

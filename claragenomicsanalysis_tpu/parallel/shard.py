@@ -104,14 +104,16 @@ def _sharded_match(qidx, tidx, cap: int, skip_self: bool, mesh: Mesh):
     return anchors, total, overflow
 
 
-def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
-                        cap: int = 1 << 18):
-    """Rep-sharded matching + replicated chaining.  Returns the same masked
-    overlap dict as ops.map_ops.chain_anchors."""
-    from fractions import Fraction
+def sharded_anchors(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
+                    cap: int = 1 << 18):
+    """Rep-sharded anchor generation: target index split into sorted-rep
+    blocks over the 'rep' axis, anchors all-gathered back.  Returns
+    (anchors dict, total, overflow) like ops.map_ops.match_anchors.
+
+    `cap` is the PER-SHARD anchor capacity (shard loads are skewed by the
+    rep distribution, so each shard gets the full cap rather than cap/N)."""
     n_rep = mesh.shape["rep"]
-    C = qidx_arrays["rep"].shape[0]
-    Ct = tidx_arrays["rep"].shape[0]
+    Ct = np.asarray(tidx_arrays["rep"]).shape[0]
     Ctp = round_up(Ct, n_rep)
 
     tpad = {}
@@ -125,9 +127,18 @@ def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
 
     qj = {k: jnp.asarray(np.asarray(v)) for k, v in qidx_arrays.items()}
     tj = {k: jnp.asarray(v) for k, v in tpad.items()}
-    anchors, total, overflow = _sharded_match(
-        qj, tj, cap=round_up(cap, n_rep), skip_self=cfg.skip_self_mappings,
-        mesh=mesh)
+    return _sharded_match(
+        qj, tj, cap=round_up(cap, n_rep) * n_rep,
+        skip_self=cfg.skip_self_mappings, mesh=mesh)
+
+
+def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
+                        cap: int = 1 << 18):
+    """Rep-sharded matching + replicated chaining.  Returns the same masked
+    overlap dict as ops.map_ops.chain_anchors."""
+    from fractions import Fraction
+    anchors, total, overflow = sharded_anchors(
+        qidx_arrays, tidx_arrays, cfg, mesh, cap=cap // mesh.shape["rep"])
 
     frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
     out = map_ops.chain_anchors(
