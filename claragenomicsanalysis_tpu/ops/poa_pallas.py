@@ -149,29 +149,38 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
         # ------------------------------------------------------- topsort
         def topsort(node_count):
             """Warm Gauss-Seidel level relaxation + counting sort by
-            (level, idx).  Writes F_LEVEL/F_ORDER/F_RANK; returns ok."""
+            (level, idx).  Writes F_LEVEL/F_ORDER/F_RANK; returns ok.
+
+            All loops run [0, node_count), not [0, N): order/rank/levels of
+            never-created nodes are unread (every pred/order access is
+            masked by npred/node_count), and the trim halves the scalar
+            cost of the per-sequence re-sort."""
+            # a DAG's levels stay < node_count; the clamp only matters for
+            # the (defensive, non-DAG) divergence path, keeping CNT accesses
+            # inside the zeroed range
+            lv_hi = jnp.maximum(node_count - 1, 0)
+
             def sweep_body(u, changed):
-                def live(changed):
-                    npred_u = nf[F_NPRED, u]
-                    best = jnp.int32(-1)
-                    for p in range(P):
-                        pi = pred_s[p, u]
-                        lv = nf[F_LEVEL, jnp.clip(pi, 0, N - 1)]
-                        best = jnp.maximum(
-                            best, jnp.where(p < npred_u, lv, -1))
-                    new = jnp.maximum(best + 1, 0)
-                    old = nf[F_LEVEL, u]
-                    nf[F_LEVEL, u] = new
-                    return changed | (new != old)
-                return jax.lax.cond(u < node_count, live,
-                                    lambda c: c, changed)
+                npred_u = nf[F_NPRED, u]
+
+                def pstep(p, best):
+                    pi = pred_s[p, u]
+                    return jnp.maximum(
+                        best, nf[F_LEVEL, jnp.clip(pi, 0, N - 1)])
+
+                best = jax.lax.fori_loop(0, npred_u, pstep, jnp.int32(-1))
+                new = jnp.maximum(best + 1, 0)
+                old = nf[F_LEVEL, u]
+                nf[F_LEVEL, u] = new
+                return changed | (new != old)
 
             def sweeps_cond(c):
                 return c[0] & (c[1] < N + 2)
 
             def sweeps_body(c):
                 _, it = c
-                ch = jax.lax.fori_loop(0, N, sweep_body, jnp.bool_(False))
+                ch = jax.lax.fori_loop(0, node_count, sweep_body,
+                                       jnp.bool_(False))
                 return ch, it + 1
 
             changed, _ = jax.lax.while_loop(
@@ -182,36 +191,28 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
             def zero_cnt(b, _):
                 nf[F_CNT, b] = 0
                 return ()
-            jax.lax.fori_loop(0, N, zero_cnt, ())
+            jax.lax.fori_loop(0, node_count, zero_cnt, ())
 
             def count(u, _):
-                @pl.when(u < node_count)
-                def _():
-                    lv = jnp.clip(nf[F_LEVEL, u], 0, N - 1)
-                    nf[F_CNT, lv] = nf[F_CNT, lv] + 1
+                lv = jnp.clip(nf[F_LEVEL, u], 0, lv_hi)
+                nf[F_CNT, lv] = nf[F_CNT, lv] + 1
                 return ()
-            jax.lax.fori_loop(0, N, count, ())
+            jax.lax.fori_loop(0, node_count, count, ())
 
             def prefix(b, off):
                 c = nf[F_CNT, b]
                 nf[F_CNT, b] = off
                 return off + c
-            jax.lax.fori_loop(0, N, prefix, jnp.int32(0))
+            jax.lax.fori_loop(0, node_count, prefix, jnp.int32(0))
 
             def place(u, _):
-                @pl.when(u < node_count)
-                def _():
-                    lv = jnp.clip(nf[F_LEVEL, u], 0, N - 1)
-                    r = nf[F_CNT, lv]
-                    nf[F_CNT, lv] = r + 1
-                    nf[F_ORDER, r] = u
-                    nf[F_RANK, u] = r
-                @pl.when(u >= node_count)
-                def _():
-                    nf[F_ORDER, u] = u
-                    nf[F_RANK, u] = u
+                lv = jnp.clip(nf[F_LEVEL, u], 0, lv_hi)
+                r = nf[F_CNT, lv]
+                nf[F_CNT, lv] = r + 1
+                nf[F_ORDER, r] = u
+                nf[F_RANK, u] = r
                 return ()
-            jax.lax.fori_loop(0, N, place, ())
+            jax.lax.fori_loop(0, node_count, place, ())
             return ok
 
         # ------------------------------------------------------- graph NW
@@ -261,8 +262,6 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                     row = jnp.where(in_band, row, NEG)
                 row = jnp.where(jj <= slen, row, NEG)
                 smat_ref[pl.ds(r + 1, 1), :] = row
-                nf[F_VAL, r] = _lx(row, slen)
-                nf[F_SINK, r] = jnp.where(nf[F_NSUCC, u] == 0, 1, 0)
                 return ()
 
             jax.lax.fori_loop(0, node_count, body, ())
@@ -271,17 +270,24 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
         def traceback(s, node_count, slen):
             """Fills pn_s/pp_s; returns (k, band_ok)."""
             def find_end(r, c):
-                vmax, first = c
-                v = nf[F_VAL, r]
-                is_sink = (nf[F_SINK, r] > 0) & (r < node_count)
-                better = is_sink & (v > vmax)
-                first = jnp.where(better, r,
-                                  jnp.where(is_sink & (v == vmax)
-                                            & (r < first), r, first))
-                vmax = jnp.where(better, v, vmax)
-                return vmax, first
+                # sinks are rare (1-3 per graph): the score lane-extract
+                # runs only on the sink branch
+                u = nf[F_ORDER, r]
+                is_sink = nf[F_NSUCC, u] == 0
+
+                def at_sink(c):
+                    vmax, first = c
+                    v = _lx(smat_ref[pl.ds(r + 1, 1), :], slen)
+                    better = v > vmax
+                    first = jnp.where(better, r,
+                                      jnp.where((v == vmax) & (r < first),
+                                                r, first))
+                    vmax = jnp.where(better, v, vmax)
+                    return vmax, first
+
+                return jax.lax.cond(is_sink, at_sink, lambda c: c, c)
             vmax, first = jax.lax.fori_loop(
-                0, N, find_end, (jnp.int32(NEG), jnp.int32(2**30)))
+                0, node_count, find_end, (jnp.int32(NEG), jnp.int32(2**30)))
             band_ok = vmax > NEG // 2
             r_end = jnp.where(node_count > 0, first, -1)
 
@@ -303,6 +309,9 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 npred_u = jnp.where(u >= 0, nf[F_NPRED, uc], 0)
                 at_virtual = r < 0
 
+                # probe pred slots unconditionally: the extracts of all
+                # slots pipeline on the vector unit, which beats wrapping
+                # them in scalar branches (measured)
                 any_diag = jnp.bool_(False)
                 any_vert = jnp.bool_(False)
                 sel_d = jnp.int32(0)
@@ -341,159 +350,179 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
         # -------------------------------------------------- add alignment
         def add_alignment(s, node_count_in, status_in, k0, slen):
+            """Graph extension, organized around scalar BRANCHES: the common
+            step (matched base, existing edge) runs ~25 SMEM ops; candidate
+            scans, node creation, clique linking and sorted edge insertion
+            only execute on their (error-rate-frequency) branches.  Ref-write
+            order inside each branch matches the masked formulation, so
+            results are bit-identical to ops/poa_ops.add_alignment."""
             def body(j, c):
-                node_count, status, prev, prev_pos = c
                 node = pn_s[0, j]
                 pos = pp_s[0, j]
-                inert = (node == -2) | ((node == -1) & (pos == -1))
-                is_del = (node >= 0) & (pos == -1)
-                consume = ~inert & ~is_del
 
-                pc = jnp.clip(pos, 0, L - 1)
-                b = jnp.where((pos >= 0) & (pos < L), seq_s[s, pc], -1)
-                w = jnp.where((pos >= 0) & (pos < L), w_s[s, pc], 0)
+                def step(c):
+                    node_count, status, prev, prev_pos = c
+                    pc = jnp.clip(pos, 0, L - 1)
+                    b = seq_s[s, pc]
+                    w = w_s[s, pc]
+                    node_c = jnp.clip(node, 0, N - 1)
+                    base_n = nf[F_BASE, node_c]
+                    same = (base_n == b) & (b >= 0) & (node >= 0)
 
-                node_c = jnp.clip(node, 0, N - 1)
-                base_n = nf[F_BASE, node_c]
-                nalig_n = nf[F_NALIG, node_c]
-                same = (base_n == b) & (b >= 0) & (node >= 0)
+                    def fast(nc_st):
+                        return nc_st[0], nc_st[1], node
 
-                def scan_cands(_):
-                    any_c = jnp.bool_(False)
-                    sel = jnp.int32(-1)
-                    for a in range(A):
-                        ca = alig_s[a, node_c]
-                        okc = (a < nalig_n) & (b >= 0)
-                        mb = jnp.where(okc & (ca >= 0),
-                                       nf[F_BASE, jnp.clip(ca, 0, N - 1)],
-                                       -2)
-                        hit = okc & (mb == b)
-                        sel = jnp.where(hit & ~any_c, ca, sel)
-                        any_c = any_c | hit
-                    return any_c, sel
+                    def slow(nc_st):
+                        node_count, status = nc_st
+                        nalig_n = nf[F_NALIG, node_c]
 
-                any_cand, cand_sel = jax.lax.cond(
-                    same | (node < 0) | ~consume,
-                    lambda _: (jnp.bool_(False), jnp.int32(-1)),
-                    scan_cands, ())
+                        def scan_cands(_):
+                            any_c = jnp.bool_(False)
+                            sel = jnp.int32(-1)
+                            for a in range(A):
+                                ca = alig_s[a, node_c]
+                                okc = (a < nalig_n) & (b >= 0)
+                                mb = jnp.where(
+                                    okc & (ca >= 0),
+                                    nf[F_BASE, jnp.clip(ca, 0, N - 1)], -2)
+                                hit = okc & (mb == b)
+                                sel = jnp.where(hit & ~any_c, ca, sel)
+                                any_c = any_c | hit
+                            return any_c, sel
 
-                need_new = consume & ~((node >= 0) & (same | any_cand))
-                new_id = jnp.clip(node_count, 0, N - 1)
-                overflow_node = need_new & (node_count >= MAXN)
-                link = need_new & (node >= 0)
-                group_sz = nalig_n + 1
-                overflow_clique = link & (group_sz > A)
+                        any_cand, cand_sel = jax.lax.cond(
+                            node < 0,
+                            lambda _: (jnp.bool_(False), jnp.int32(-1)),
+                            scan_cands, ())
 
-                target = jnp.where(
-                    ~consume, -1,
-                    jnp.where((node >= 0) & same, node,
-                              jnp.where((node >= 0) & any_cand, cand_sel,
-                                        new_id)))
-                target_c = jnp.clip(target, 0, N - 1)
+                        need_new = ~((node >= 0) & any_cand)
+                        new_id = jnp.clip(node_count, 0, N - 1)
+                        overflow_node = need_new & (node_count >= MAXN)
+                        link = need_new & (node >= 0)
+                        group_sz = nalig_n + 1
+                        overflow_clique = link & (group_sz > A)
+                        target = jnp.where(
+                            (node >= 0) & any_cand, cand_sel, new_id)
 
-                @pl.when(need_new)
-                def _():
-                    nf[F_BASE, new_id] = b
+                        @pl.when(need_new)
+                        def _():
+                            nf[F_BASE, new_id] = b
 
-                @pl.when(link)
-                def _():
-                    # new node's aligned list = sorted(node_c + cands) and
-                    # append new_id to each member's list
-                    cands = [alig_s[a, node_c] for a in range(A)]
-                    memv = [jnp.where(a < nalig_n, cands[a],
-                                      jnp.int32(2**30)) for a in range(A)]
-                    carry = node_c
-                    for a in range(A):
-                        lo = jnp.minimum(carry, memv[a])
-                        carry = jnp.maximum(carry, memv[a])
-                        alig_s[a, new_id] = jnp.where(lo >= 2**30, -1, lo)
-                    nf[F_NALIG, new_id] = jnp.minimum(group_sz, A)
-                    members = [node_c] + cands
-                    m_ok = [jnp.bool_(True)] + [a < nalig_n
-                                                for a in range(A)]
-                    for mi in range(A + 1):
-                        mc = jnp.clip(members[mi], 0, N - 1)
-                        mn = nf[F_NALIG, mc]
-                        do = m_ok[mi] & (members[mi] >= 0) & (mn < A)
-                        for a in range(A):
-                            alig_s[a, mc] = jnp.where(do & (mn == a),
-                                                      new_id, alig_s[a, mc])
-                        nf[F_NALIG, mc] = jnp.where(do, mn + 1,
-                                                    nf[F_NALIG, mc])
+                        @pl.when(link)
+                        def _():
+                            # new node's aligned list = sorted(node_c +
+                            # cands); append new_id to each member's list
+                            cands = [alig_s[a, node_c] for a in range(A)]
+                            memv = [jnp.where(a < nalig_n, cands[a],
+                                              jnp.int32(2**30))
+                                    for a in range(A)]
+                            carry = node_c
+                            for a in range(A):
+                                lo = jnp.minimum(carry, memv[a])
+                                carry = jnp.maximum(carry, memv[a])
+                                alig_s[a, new_id] = jnp.where(
+                                    lo >= 2**30, -1, lo)
+                            nf[F_NALIG, new_id] = jnp.minimum(group_sz, A)
+                            members = [node_c] + cands
+                            m_ok = [jnp.bool_(True)] + [a < nalig_n
+                                                        for a in range(A)]
+                            for mi in range(A + 1):
+                                mc = jnp.clip(members[mi], 0, N - 1)
+                                mn = nf[F_NALIG, mc]
+                                do = (m_ok[mi] & (members[mi] >= 0)
+                                      & (mn < A))
+                                for a in range(A):
+                                    alig_s[a, mc] = jnp.where(
+                                        do & (mn == a), new_id,
+                                        alig_s[a, mc])
+                                nf[F_NALIG, mc] = jnp.where(
+                                    do, mn + 1, nf[F_NALIG, mc])
 
-                @pl.when(consume)
-                def _():
+                        node_count = jnp.where(need_new & ~overflow_node,
+                                               node_count + 1, node_count)
+                        status = jnp.where(
+                            (status == StatusType.SUCCESS)
+                            & (overflow_node | overflow_clique),
+                            jnp.int32(StatusType.
+                                      NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                            status)
+                        return node_count, status, target
+
+                    node_count, status, target = jax.lax.cond(
+                        same, fast, slow, (node_count, status))
+                    target_c = jnp.clip(target, 0, N - 1)
                     nf[F_COV, target_c] = nf[F_COV, target_c] + w
                     if msa:
-                        paths_s[s, jnp.clip(pos, 0, L - 1)] = target
+                        paths_s[s, pc] = target
 
-                node_count = jnp.where(need_new & ~overflow_node,
-                                       node_count + 1, node_count)
+                    # edge prev -> target
+                    def do_edge(status):
+                        ppc = jnp.clip(prev_pos, 0, L - 1)
+                        wp = jnp.where(prev_pos >= 0, w_s[s, ppc], 0)
+                        ew = jnp.minimum(wp, w)
+                        prev_c = jnp.clip(prev, 0, N - 1)
+                        npred_t = nf[F_NPRED, target_c]
+                        found = jnp.bool_(False)
+                        slot = jnp.int32(0)
+                        for p in range(P):
+                            hit = ((npred_t > p)
+                                   & (pred_s[p, target_c] == prev_c))
+                            slot = jnp.where(hit & ~found, p, slot)
+                            found = found | hit
 
-                # edge prev -> target
-                ppc = jnp.clip(prev_pos, 0, L - 1)
-                wp = jnp.where((prev_pos >= 0) & (prev_pos < L),
-                               w_s[s, ppc], 0)
-                ew = jnp.minimum(wp, w)
-                has_edge = (prev >= 0) & consume
-                prev_c = jnp.clip(prev, 0, N - 1)
-                npred_t = nf[F_NPRED, target_c]
-                pvals = [pred_s[p, target_c] for p in range(P)]
-                wvals = [predw_s[p, target_c] for p in range(P)]
-                exist = [(npred_t > p) & (pvals[p] == prev_c)
-                         for p in range(P)]
-                any_exist = jnp.bool_(False)
-                for p in range(P):
-                    any_exist = any_exist | exist[p]
-                any_exist = any_exist & has_edge
+                        def add_w(st):
+                            predw_s[slot, target_c] = (
+                                predw_s[slot, target_c] + ew)
+                            return st
 
-                @pl.when(any_exist)
-                def _():
-                    for p in range(P):
-                        predw_s[p, target_c] = jnp.where(
-                            exist[p], wvals[p] + ew, predw_s[p, target_c])
+                        def insert(st):
+                            def do_ins(st):
+                                pvals = [pred_s[p, target_c]
+                                         for p in range(P)]
+                                wvals = [predw_s[p, target_c]
+                                         for p in range(P)]
+                                pos_ins = jnp.int32(0)
+                                for p in range(P):
+                                    pos_ins = pos_ins + jnp.where(
+                                        (p < npred_t)
+                                        & (pvals[p] < prev_c), 1, 0)
+                                for p in range(P):
+                                    new_p = jnp.where(
+                                        p < pos_ins, pvals[p],
+                                        jnp.where(p == pos_ins, prev_c,
+                                                  pvals[p - 1] if p >= 1
+                                                  else jnp.int32(-1)))
+                                    new_w = jnp.where(
+                                        p < pos_ins, wvals[p],
+                                        jnp.where(p == pos_ins, ew,
+                                                  wvals[p - 1] if p >= 1
+                                                  else jnp.int32(0)))
+                                    pred_s[p, target_c] = new_p
+                                    predw_s[p, target_c] = new_w
+                                nf[F_NPRED, target_c] = npred_t + 1
+                                nf[F_NSUCC, prev_c] = (
+                                    nf[F_NSUCC, prev_c] + 1)
+                                return st
 
-                ins = has_edge & ~any_exist
-                overflow_edge = ins & (npred_t >= P)
-                do_ins = ins & ~overflow_edge
+                            def edge_overflow(st):
+                                return jnp.where(
+                                    st == StatusType.SUCCESS,
+                                    jnp.int32(
+                                        StatusType.
+                                        EDGE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                                    st)
 
-                @pl.when(do_ins)
-                def _():
-                    pos_ins = jnp.int32(0)
-                    for p in range(P):
-                        pos_ins = pos_ins + jnp.where(
-                            (p < npred_t) & (pvals[p] < prev_c), 1, 0)
-                    for p in range(P):
-                        new_p = jnp.where(
-                            p < pos_ins, pvals[p],
-                            jnp.where(p == pos_ins, prev_c,
-                                      pvals[p - 1] if p >= 1
-                                      else jnp.int32(-1)))
-                        new_w = jnp.where(
-                            p < pos_ins, wvals[p],
-                            jnp.where(p == pos_ins, ew,
-                                      wvals[p - 1] if p >= 1
-                                      else jnp.int32(0)))
-                        pred_s[p, target_c] = new_p
-                        predw_s[p, target_c] = new_w
-                    nf[F_NPRED, target_c] = npred_t + 1
-                    nf[F_NSUCC, prev_c] = nf[F_NSUCC, prev_c] + 1
+                            return jax.lax.cond(npred_t >= P, edge_overflow,
+                                                do_ins, st)
 
-                status = jnp.where(
-                    (status == StatusType.SUCCESS)
-                    & (overflow_node | overflow_clique),
-                    jnp.int32(
-                        StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
-                    status)
-                status = jnp.where(
-                    (status == StatusType.SUCCESS) & overflow_edge,
-                    jnp.int32(
-                        StatusType.EDGE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
-                    status)
+                        return jax.lax.cond(found, add_w, insert, status)
 
-                new_prev = jnp.where(consume, target, prev)
-                new_prev_pos = jnp.where(consume, pos, prev_pos)
-                return (node_count, status, new_prev, new_prev_pos)
+                    status = jax.lax.cond(prev >= 0, do_edge,
+                                          lambda st: st, status)
+                    return node_count, status, target, pos
+
+                # deletion steps (pos == -1) and inert padding mutate nothing
+                return jax.lax.cond(pos >= 0, step, lambda c: c, c)
 
             node_count, status, _, _ = jax.lax.fori_loop(
                 k0, TL, body,
