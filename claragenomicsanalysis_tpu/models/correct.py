@@ -150,7 +150,11 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
     # deep noisy pileups accumulate many deletion skip-edges per node; the
     # default pred cap of 4 (CUDAPOA_MAX_NODE_EDGES analog) overflows at
     # ~10+ supports, so scale it with the pileup depth
+    # max_nodes: backbone W plus error branches — 3*W is ample for <=30%
+    # divergence and keeps the window plan inside the TPU kernel's SMEM
+    # budget (the BatchSize default of 3*max_sequence_size = 6*W does not)
     bs = BatchSize(max_sequence_size=2 * W,
+                   max_nodes_per_window=3 * W,
                    max_sequences_per_poa=cfg.max_support + 1,
                    max_pred_per_node=max(4, cfg.max_support + 1),
                    max_aligned_per_node=max(4, (cfg.max_support + 1) // 2))

@@ -165,8 +165,12 @@ class Batch:
                 program, seqs, weights, lens, n_seqs, self.mesh))
             return
         from ..ops.nw_band_pallas import pallas_available
+        from ..ops.poa_pallas import smem_bytes_per_window
+        fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
+                and self.batch_size.max_sequences_per_poa < 128)
         use_pallas = (self.backend == "pallas"
-                      or (self.backend == "auto" and pallas_available()))
+                      or (self.backend == "auto" and pallas_available()
+                          and fits))
         if use_pallas:
             # full in-kernel POA (ops/poa_pallas.py) — bit-identical to the
             # XLA program by the oracle contract

@@ -83,68 +83,204 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
     MCOL = round_up(N, 128)
 
+    SCAN_QS = max(1, (L1 - 1).bit_length())
+
     def kernel(*refs):
-        """WPG independent windows per grid step (WPG set by the wrapper):
-        their op streams have no data dependencies, giving the scheduler
-        scalar/vector overlap across windows.  Each window's state is a
-        static sub-ref of the stacked scratch buffers."""
+        """WPG windows per grid step.  The scalar (SMEM) phases — topsort,
+        traceback, graph extension, consensus — run per window; the
+        graph-NW rows of all WPG windows run in LOCKSTEP, window on the
+        sublane axis of one (WPG, L1) block, so the vector work amortizes
+        across windows (a (1, L1) row uses 1/8 of each tile)."""
         n_in = 7
         n_out = 4 if msa else 3
         ins = refs[:n_in]
         outs = refs[n_in: n_in + n_out]
         scratch = refs[n_in + n_out:]
+        pg = scratch[-2]       # (WPG, L1) pred-max assembly buffer
+        smat2 = scratch[-1]    # (N+1, WPG, L1) scores, window on sublanes
         wpg = scratch[0].shape[0]
-        for wi in range(wpg):
-            one_window(*(r.at[wi] for r in ins),
-                       *(r.at[wi] for r in outs),
-                       *(r.at[wi] for r in scratch))
+        wins = [window_phases(wi,
+                              [r.at[wi] for r in ins],
+                              [r.at[wi] for r in outs],
+                              [r.at[wi] for r in scratch[:-2]], smat2)
+                for wi in range(wpg)]
 
-    def one_window(seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s,
-                   *out_and_scratch):
+        jj = _iota(L1)
+
+        def sel_vec(vals):
+            """(wpg, 1) vector holding per-window scalars on sublanes."""
+            si = jax.lax.broadcasted_iota(jnp.int32, (wpg, 1), 0)
+            acc = jnp.zeros((wpg, 1), jnp.int32)
+            for k, v in enumerate(vals):
+                acc = jnp.where(si == k, v, acc)
+            return acc
+
+        def graph_nw_lockstep(s, ncs, slens, acts):
+            seq8 = ins[0][:, s, :]                    # (wpg, L1) shifted rows
+            slen8 = sel_vec(slens)
+            seq_ok = (jj >= 1) & (jj <= slen8)
+            max_nc = jnp.int32(0)
+            for nc, a in zip(ncs, acts):
+                max_nc = jnp.maximum(max_nc, jnp.where(a, nc, 0))
+            row0 = jnp.where(jj <= L, jj * GAP, NEG)
+            smat2[pl.ds(0, 1)] = jnp.broadcast_to(row0[:, None, :],
+                                                  (1, wpg, L1))
+            if BW > 0:
+                nc8 = sel_vec(ncs)
+
+            def body(r, _):
+                # per-window scalar part: pred-max rows assembled into pg
+                bases = []
+                for wi, w in enumerate(wins):
+                    nf_w, pred_w = w["nf"], w["pred_s"]
+                    u = jnp.clip(nf_w[F_ORDER, jnp.clip(r, 0, N - 1)],
+                                 0, N - 1)
+                    npred_u = nf_w[F_NPRED, u]
+                    bases.append(nf_w[F_BASE, u])
+
+                    def pred_step(p, pmax, nf_w=nf_w, pred_w=pred_w, u=u,
+                                  wi=wi):
+                        pi = pred_w[p, u]
+                        pr = nf_w[F_RANK, jnp.clip(pi, 0, N - 1)] + 1
+                        prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
+                        return jnp.maximum(pmax, prow)
+
+                    pmax0 = jnp.full((1, L1), NEG, jnp.int32)
+                    pmax = jax.lax.fori_loop(0, npred_u, pred_step, pmax0)
+                    pmax = jnp.where(npred_u == 0,
+                                     smat2[pl.ds(0, 1), wi, :], pmax)
+                    pg[pl.ds(wi, 1), :] = pmax
+
+                # lockstep vector part on (wpg, L1) blocks
+                pmax8 = pg[...]
+                base8 = sel_vec(bases)
+                sub = jnp.where((seq8 == base8) & (seq8 >= 0), MATCH, MISM)
+                sub = jnp.where(seq_ok, sub, MISM)
+                # vals[0] = pmax[0] + GAP falls out naturally: the rolled
+                # lane 0 wraps lane L1-1, which is always NEG (beyond slen)
+                pms = pltpu.roll(pmax8, shift=1, axis=1)   # pmax[j-1]
+                vals = jnp.maximum(pms + sub, pmax8 + GAP)
+                vals = jnp.where(jj <= slen8, vals, NEG)
+                if BW > 0:
+                    c = ((r + 1) * slen8) // (nc8 + 1)
+                    in_band = jnp.abs(jj - c) <= BW // 2
+                    vals = jnp.where(in_band, vals, NEG)
+                acc = vals - jj * GAP
+                for q in range(SCAN_QS):
+                    sh = 1 << q
+                    acc = jnp.maximum(
+                        acc, jnp.where(jj >= sh,
+                                       pltpu.roll(acc, shift=sh, axis=1),
+                                       NEG))
+                row = acc + jj * GAP
+                if BW > 0:
+                    row = jnp.where(in_band, row, NEG)
+                row = jnp.where(jj <= slen8, row, NEG)
+                smat2[pl.ds(r + 1, 1)] = row[None]
+                return ()
+
+            jax.lax.fori_loop(0, max_nc, body, ())
+
+        # ---------------------------------------------------- window loop
+        st_nc = [w["init"]() for w in wins]
+        for s in range(1, S):
+            acts, oks, slens = [], [], []
+            for wi, w in enumerate(wins):
+                nc, st = st_nc[wi]
+                slen = w["slen"](s)
+                active = w["active"](s, st)
+                ok = jax.lax.cond(
+                    active, lambda _, w=w, nc=nc: w["topsort"](nc),
+                    lambda _: jnp.bool_(True), ())
+                acts.append(active)
+                oks.append(ok)
+                slens.append(slen)
+            if "nw" not in skip:
+                graph_nw_lockstep(s, [nc for nc, _ in st_nc], slens, acts)
+            for wi, w in enumerate(wins):
+                def do_seq(nc_st, w=w, s=s, slen=slens[wi], ok=oks[wi]):
+                    nc, st = nc_st
+                    if "tb" not in skip:
+                        k0, band_ok = w["traceback"](s, nc, slen)
+                    else:
+                        k0, band_ok = jnp.int32(TL), jnp.bool_(True)
+
+                    def do_add(nc_st):
+                        return w["add"](s, nc_st[0], nc_st[1], k0, slen)
+
+                    def band_fail(nc_st):
+                        return nc_st[0], jnp.int32(
+                            StatusType.EXCEEDED_BAND_WIDTH)
+
+                    if "add" in skip:
+                        nc2, st2 = nc, st
+                    else:
+                        nc2, st2 = jax.lax.cond(band_ok, do_add, band_fail,
+                                                (nc, st))
+                    # precedence mirrors models/poa.py: band failure wins,
+                    # then topsort non-convergence, then add-phase statuses
+                    st2 = jnp.where(
+                        band_ok & ~ok,
+                        jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND),
+                        st2)
+                    return nc2, st2
+
+                st_nc[wi] = jax.lax.cond(acts[wi], do_seq, lambda x: x,
+                                         st_nc[wi])
+        for wi, w in enumerate(wins):
+            w["final"](*st_nc[wi])
+
+    def window_phases(wi, ins_w, outs_w, scratch_w, smat2):
+        """Per-window phase closures.  `wi` is a static sub-batch index;
+        the window's score rows live at sublane wi of the shared smat2."""
+        (seqsh_ref, seq_s, w_s, meta_s, base0_s, cov0_s, ew0_s) = ins_w
         if msa:
-            (codes_ref, covs_ref, meta_out_ref, rows_ref,
-             nf, pred_s, predw_s, alig_s, pn_s, pp_s, paths_s,
-             smat_ref) = out_and_scratch
+            codes_ref, covs_ref, meta_out_ref, rows_ref = outs_w
+            nf, pred_s, predw_s, alig_s, pn_s, pp_s, paths_s = scratch_w
         else:
-            (codes_ref, covs_ref, meta_out_ref,
-             nf, pred_s, predw_s, alig_s, pn_s, pp_s, smat_ref) = \
-                out_and_scratch
+            codes_ref, covs_ref, meta_out_ref = outs_w
+            nf, pred_s, predw_s, alig_s, pn_s, pp_s = scratch_w
         n_seqs = meta_s[0, S]
         len0 = meta_s[0, 0]
 
+        def smat_row(i):
+            return smat2[pl.ds(i, 1), wi, :]
+
         # ---------------------------------------------------------- init
-        if msa:
-            def paths_init(i, _):
-                for s in range(S):
-                    paths_s[s, i] = jnp.where((s == 0) & (i < len0), i, -1)
+        def init():
+            if msa:
+                def paths_init(i, _):
+                    for s in range(S):
+                        paths_s[s, i] = jnp.where((s == 0) & (i < len0),
+                                                  i, -1)
+                    return ()
+                jax.lax.fori_loop(0, L, paths_init, ())
+
+            def init_body(u, _):
+                a = u < len0
+                nf[F_BASE, u] = jnp.where(a, base0_s[0, u], -1)
+                nf[F_COV, u] = jnp.where(a, cov0_s[0, u], 0)
+                nf[F_NPRED, u] = jnp.where(a & (u > 0), 1, 0)
+                nf[F_NSUCC, u] = jnp.where(a & (u < len0 - 1), 1, 0)
+                nf[F_NALIG, u] = 0
+                nf[F_LEVEL, u] = jnp.where(a, u, 0)
+                nf[F_ORDER, u] = u
+                nf[F_RANK, u] = u
+                pred_s[0, u] = jnp.where(a & (u > 0), u - 1, -1)
+                predw_s[0, u] = jnp.where(a & (u > 0), ew0_s[0, u], 0)
+                for p in range(1, P):
+                    pred_s[p, u] = -1
+                    predw_s[p, u] = 0
+                for q in range(A):
+                    alig_s[q, u] = -1
                 return ()
-            jax.lax.fori_loop(0, L, paths_init, ())
 
-        def init_body(u, _):
-            a = u < len0
-            nf[F_BASE, u] = jnp.where(a, base0_s[0, u], -1)
-            nf[F_COV, u] = jnp.where(a, cov0_s[0, u], 0)
-            nf[F_NPRED, u] = jnp.where(a & (u > 0), 1, 0)
-            nf[F_NSUCC, u] = jnp.where(a & (u < len0 - 1), 1, 0)
-            nf[F_NALIG, u] = 0
-            nf[F_LEVEL, u] = jnp.where(a, u, 0)
-            nf[F_ORDER, u] = u
-            nf[F_RANK, u] = u
-            pred_s[0, u] = jnp.where(a & (u > 0), u - 1, -1)
-            predw_s[0, u] = jnp.where(a & (u > 0), ew0_s[0, u], 0)
-            for p in range(1, P):
-                pred_s[p, u] = -1
-                predw_s[p, u] = 0
-            for q in range(A):
-                alig_s[q, u] = -1
-            return ()
-
-        jax.lax.fori_loop(0, N, init_body, ())
-        node_count0 = len0
-        status0 = jnp.where(
-            len0 > MAXN,
-            jnp.int32(StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
-            jnp.int32(StatusType.SUCCESS))
+            jax.lax.fori_loop(0, N, init_body, ())
+            status0 = jnp.where(
+                len0 > MAXN,
+                jnp.int32(StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                jnp.int32(StatusType.SUCCESS))
+            return len0, status0
 
         # ------------------------------------------------------- topsort
         def topsort(node_count):
@@ -218,54 +354,6 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
         # ------------------------------------------------------- graph NW
         jj = _iota(L1)
 
-        def graph_nw(s, node_count, slen):
-            seq_row = seqsh_ref[s][None, :]            # char at lane j = j-1
-            seq_ok = (jj >= 1) & (jj <= slen)
-            smat_ref[0] = jnp.where(jj <= L, jj * GAP, NEG)[0]
-
-            def body(r, _):
-                u = nf[F_ORDER, r]
-                npred_u = nf[F_NPRED, u]
-                base_u = nf[F_BASE, u]
-
-                def pred_step(p, pmax):
-                    pi = pred_s[p, u]
-                    pr = nf[F_RANK, jnp.clip(pi, 0, N - 1)] + 1
-                    prow = smat_ref[pl.ds(jnp.clip(pr, 0, N), 1), :]
-                    return jnp.maximum(pmax, prow)
-
-                pmax0 = jnp.full((1, L1), NEG, jnp.int32)
-                pmax = jax.lax.fori_loop(0, npred_u, pred_step, pmax0)
-                pmax = jnp.where(npred_u == 0, smat_ref[pl.ds(0, 1), :], pmax)
-
-                sub = jnp.where((seq_row == base_u) & (seq_row >= 0),
-                                MATCH, MISM)
-                sub = jnp.where(seq_ok, sub, MISM)
-                # vals[0] = pmax[0] + GAP falls out naturally: the rolled
-                # lane 0 wraps lane L1-1, which is always NEG (beyond slen)
-                pms = pltpu.roll(pmax, shift=1, axis=1)   # pmax[j-1]
-                vals = jnp.maximum(pms + sub, pmax + GAP)
-                vals = jnp.where(jj <= slen, vals, NEG)
-                if BW > 0:
-                    c = ((r + 1) * slen) // (node_count + 1)
-                    in_band = jnp.abs(jj - c) <= BW // 2
-                    vals = jnp.where(in_band, vals, NEG)
-                acc = vals - jj * GAP
-                for q in range(max(1, (L1 - 1).bit_length())):
-                    sh = 1 << q
-                    acc = jnp.maximum(
-                        acc, jnp.where(jj >= sh,
-                                       pltpu.roll(acc, shift=sh, axis=1),
-                                       NEG))
-                row = acc + jj * GAP
-                if BW > 0:
-                    row = jnp.where(in_band, row, NEG)
-                row = jnp.where(jj <= slen, row, NEG)
-                smat_ref[pl.ds(r + 1, 1), :] = row
-                return ()
-
-            jax.lax.fori_loop(0, node_count, body, ())
-
         # ------------------------------------------------------ traceback
         def traceback(s, node_count, slen):
             """Fills pn_s/pp_s; returns (k, band_ok)."""
@@ -277,7 +365,7 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
                 def at_sink(c):
                     vmax, first = c
-                    v = _lx(smat_ref[pl.ds(r + 1, 1), :], slen)
+                    v = _lx(smat_row(r + 1), slen)
                     better = v > vmax
                     first = jnp.where(better, r,
                                       jnp.where((v == vmax) & (r < first),
@@ -300,7 +388,7 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 u = jnp.where((r >= 0) & (r < N),
                               nf[F_ORDER, jnp.clip(r, 0, N - 1)], -1)
                 uc = jnp.clip(u, 0, N - 1)
-                here_row = smat_ref[pl.ds(jnp.clip(r + 1, 0, N), 1), :]
+                here_row = smat_row(jnp.clip(r + 1, 0, N))
                 here = _lx(here_row, j)
                 sc_ch = seq_s[s, jnp.clip(j - 1, 0, L - 1)]
                 sc_ch = jnp.where((j >= 1) & (j <= L), sc_ch, -1)
@@ -321,7 +409,7 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                     slot_ok = (p < npred_u) | ((p == 0) & (npred_u == 0))
                     pr = jnp.where((p == 0) & (npred_u == 0), 0,
                                    nf[F_RANK, jnp.clip(pi, 0, N - 1)] + 1)
-                    prow = smat_ref[pl.ds(jnp.clip(pr, 0, N), 1), :]
+                    prow = smat_row(jnp.clip(pr, 0, N))
                     pv_jm1 = _lx(prow, jnp.clip(j - 1, 0, L1 - 1))
                     pv_j = _lx(prow, j)
                     d_ok = slot_ok & (j > 0) & (pv_jm1 + sub == here)
@@ -529,189 +617,178 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 (node_count_in, status_in, jnp.int32(-1), jnp.int32(-1)))
             return node_count, status
 
-        # ============================================== the sequence loop
-        node_count = node_count0
-        status = status0
-        for s in range(1, S):
-            slen = meta_s[0, s]
-            active = (s < n_seqs) & (status == StatusType.SUCCESS)
+        # --------------------------------------------- kernel-facing hooks
+        def slen_of(s):
+            return meta_s[0, s]
 
-            def do_seq(node_count, status, s=s, slen=slen):
-                ok = topsort(node_count)
-                if "nw" not in skip:
-                    graph_nw(s, node_count, slen)
-                if "tb" not in skip:
-                    k0, band_ok = traceback(s, node_count, slen)
-                else:
-                    k0, band_ok = jnp.int32(TL), jnp.bool_(True)
-
-                def do_add(nc_st):
-                    return add_alignment(s, nc_st[0], nc_st[1], k0, slen)
-
-                def band_fail(nc_st):
-                    return nc_st[0], jnp.int32(StatusType.EXCEEDED_BAND_WIDTH)
-
-                if "add" in skip:
-                    nc2, st2 = node_count, status
-                else:
-                    nc2, st2 = jax.lax.cond(band_ok, do_add, band_fail,
-                                            (node_count, status))
-                # precedence mirrors models/poa.py: band failure wins, then
-                # topsort non-convergence, then add-phase statuses
-                st2 = jnp.where(
-                    band_ok & ~ok,
-                    jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND),
-                    st2)
-                return nc2, st2
-
-            def skip_seq(node_count, status):
-                return node_count, status
-
-            node_count, status = jax.lax.cond(
-                active, do_seq, skip_seq, node_count, status)
+        def active_of(s, status):
+            return (s < n_seqs) & (status == StatusType.SUCCESS)
 
         # ------------------------------------------------------- consensus
-        _ = topsort(node_count)
+        def final_body(node_count, status):
+            _ = topsort(node_count)
 
-        def cons_body(r, _):
-            u = nf[F_ORDER, r]
-            npred_u = nf[F_NPRED, u]
-            wmax = jnp.int32(NEG)
-            for p in range(P):
-                wmax = jnp.maximum(
-                    wmax, jnp.where(p < npred_u, predw_s[p, u], NEG))
-            smax = jnp.int32(NEG)
-            for p in range(P):
-                ps = nf[F_SCORE, jnp.clip(pred_s[p, u], 0, N - 1)]
-                smax = jnp.maximum(
-                    smax, jnp.where((p < npred_u) & (predw_s[p, u] == wmax),
-                                    ps, NEG))
-            bp = jnp.int32(-1)
-            found = jnp.bool_(False)
-            for p in range(P):
-                pi = pred_s[p, u]
-                ps = nf[F_SCORE, jnp.clip(pi, 0, N - 1)]
-                hit = ((p < npred_u) & (predw_s[p, u] == wmax)
-                       & (ps == smax) & ~found)
-                bp = jnp.where(hit, pi, bp)
-                found = found | hit
-            has = npred_u > 0
-            nf[F_SCORE, u] = jnp.where(has, wmax + smax, 0)
-            nf[F_BP, u] = bp
-            return ()
-
-        def cons_init(u, _):
-            nf[F_SCORE, u] = NEG
-            nf[F_BP, u] = -1
-            return ()
-
-        jax.lax.fori_loop(0, N, cons_init, ())
-        if "cons" not in skip:
-            jax.lax.fori_loop(0, node_count, cons_body, ())
-
-        # end node: max score, tie -> smallest rank
-        def find_best(u, c):
-            smax, end = c
-            act = u < node_count
-            v = jnp.where(act, nf[F_SCORE, u], NEG)
-            rk = nf[F_RANK, u]
-            better = v > smax
-            tie = (v == smax) & (rk < jnp.where(
-                end >= 0, nf[F_RANK, jnp.clip(end, 0, N - 1)],
-                jnp.int32(2**30)))
-            end = jnp.where(act & (better | tie), u, end)
-            smax = jnp.where(act & better, v, smax)
-            return smax, end
-
-        _, end = jax.lax.fori_loop(0, N, find_best,
-                                   (jnp.int32(NEG), jnp.int32(-1)))
-
-        def bt_cond(c):
-            u, k, _, _ = c
-            return (u >= 0) & (k > 0)
-
-        def bt_body(c):
-            u, k, codes, covs = c
-            uc = jnp.clip(u, 0, N - 1)
-            codes = _st(codes, k - 1, nf[F_BASE, uc])
-            covs = _st(covs, k - 1, nf[F_COV, uc])
-            return nf[F_BP, uc], k - 1, codes, covs
-
-        codes0 = jnp.full((1, MC), -1, jnp.int32)
-        covs0 = jnp.zeros((1, MC), jnp.int32)
-        u0 = jnp.where(node_count > 0, end, jnp.int32(-1))
-        _, kk, codes, covs = jax.lax.while_loop(
-            bt_cond, bt_body, (u0, jnp.int32(MC), codes0, covs0))
-        length = MC - kk
-        codes = pltpu.roll(codes, shift=MC - kk, axis=1)
-        covs = pltpu.roll(covs, shift=MC - kk, axis=1)
-        mcl = _iota(MC)
-        codes_ref[0] = jnp.where(mcl < length, codes, -1)[0]
-        covs_ref[0] = jnp.where(mcl < length, covs, 0)[0]
-
-        # ------------------------------------------------------------ MSA
-        n_cols = jnp.int32(0)
-        if msa:
-            # columns (F_TMP): aligned cliques share a column; column =
-            # 1 + max over all group members' preds' columns, assigned at
-            # the first member in topological order (poa_ops.msa_columns)
-            def col_init(u, _):
-                nf[F_TMP, u] = -1
-                return ()
-            jax.lax.fori_loop(0, N, col_init, ())
-
-            def col_body(r, ncols):
+            def cons_body(r, _):
                 u = nf[F_ORDER, r]
+                npred_u = nf[F_NPRED, u]
+                wmax = jnp.int32(NEG)
+                for p in range(P):
+                    wmax = jnp.maximum(
+                        wmax, jnp.where(p < npred_u, predw_s[p, u], NEG))
+                smax = jnp.int32(NEG)
+                for p in range(P):
+                    ps = nf[F_SCORE, jnp.clip(pred_s[p, u], 0, N - 1)]
+                    smax = jnp.maximum(
+                        smax, jnp.where((p < npred_u) & (predw_s[p, u] == wmax),
+                                        ps, NEG))
+                bp = jnp.int32(-1)
+                found = jnp.bool_(False)
+                for p in range(P):
+                    pi = pred_s[p, u]
+                    ps = nf[F_SCORE, jnp.clip(pi, 0, N - 1)]
+                    hit = ((p < npred_u) & (predw_s[p, u] == wmax)
+                           & (ps == smax) & ~found)
+                    bp = jnp.where(hit, pi, bp)
+                    found = found | hit
+                has = npred_u > 0
+                nf[F_SCORE, u] = jnp.where(has, wmax + smax, 0)
+                nf[F_BP, u] = bp
+                return ()
 
-                def assign(ncols):
-                    nalig_u = nf[F_NALIG, u]
-                    members = [u] + [alig_s[a, u] for a in range(A)]
-                    m_ok = [jnp.bool_(True)] + [a < nalig_u
-                                                for a in range(A)]
-                    c = jnp.int32(-1)
-                    for mi in range(A + 1):
-                        mc = jnp.clip(members[mi], 0, N - 1)
-                        np_m = jnp.where(m_ok[mi], nf[F_NPRED, mc], 0)
-                        for p in range(P):
-                            pc = nf[F_TMP,
-                                    jnp.clip(pred_s[p, mc], 0, N - 1)]
-                            c = jnp.maximum(c, jnp.where(p < np_m, pc, -1))
-                    c = c + 1
-                    for mi in range(A + 1):
-                        mc = jnp.clip(members[mi], 0, N - 1)
-                        do = m_ok[mi] & (members[mi] >= 0)
-                        nf[F_TMP, mc] = jnp.where(do, c, nf[F_TMP, mc])
-                    return jnp.maximum(ncols, c + 1)
+            def cons_init(u, _):
+                nf[F_SCORE, u] = NEG
+                nf[F_BP, u] = -1
+                return ()
 
-                return jax.lax.cond(nf[F_TMP, u] < 0, assign,
-                                    lambda n: n, ncols)
+            jax.lax.fori_loop(0, N, cons_init, ())
+            if "cons" not in skip:
+                jax.lax.fori_loop(0, node_count, cons_body, ())
 
-            n_cols = jax.lax.fori_loop(0, node_count, col_body, jnp.int32(0))
+            # end node: max score, tie -> smallest rank
+            def find_best(u, c):
+                smax, end = c
+                act = u < node_count
+                v = jnp.where(act, nf[F_SCORE, u], NEG)
+                rk = nf[F_RANK, u]
+                better = v > smax
+                tie = (v == smax) & (rk < jnp.where(
+                    end >= 0, nf[F_RANK, jnp.clip(end, 0, N - 1)],
+                    jnp.int32(2**30)))
+                end = jnp.where(act & (better | tie), u, end)
+                smax = jnp.where(act & better, v, smax)
+                return smax, end
 
-            for s in range(S):
-                def row_body(i, row, s=s):
-                    u = paths_s[s, i]
+            _, end = jax.lax.fori_loop(0, N, find_best,
+                                       (jnp.int32(NEG), jnp.int32(-1)))
 
-                    def put(row):
-                        uc = jnp.clip(u, 0, N - 1)
-                        c = jnp.clip(nf[F_TMP, uc], 0, MCOL - 1)
-                        return _st(row, c, nf[F_BASE, uc])
+            def bt_cond(c):
+                u, k, _, _ = c
+                return (u >= 0) & (k > 0)
 
-                    return jax.lax.cond(u >= 0, put, lambda r: r, row)
+            def bt_body(c):
+                u, k, codes, covs = c
+                uc = jnp.clip(u, 0, N - 1)
+                codes = _st(codes, k - 1, nf[F_BASE, uc])
+                covs = _st(covs, k - 1, nf[F_COV, uc])
+                return nf[F_BP, uc], k - 1, codes, covs
 
-                row = jax.lax.fori_loop(
-                    0, L, row_body, jnp.full((1, MCOL), -1, jnp.int32))
-                rows_ref[s] = row[0]
+            codes0 = jnp.full((1, MC), -1, jnp.int32)
+            covs0 = jnp.zeros((1, MC), jnp.int32)
+            u0 = jnp.where(node_count > 0, end, jnp.int32(-1))
+            _, kk, codes, covs = jax.lax.while_loop(
+                bt_cond, bt_body, (u0, jnp.int32(MC), codes0, covs0))
+            length = MC - kk
+            codes = pltpu.roll(codes, shift=MC - kk, axis=1)
+            covs = pltpu.roll(covs, shift=MC - kk, axis=1)
+            mcl = _iota(MC)
+            codes_ref[0] = jnp.where(mcl < length, codes, -1)[0]
+            covs_ref[0] = jnp.where(mcl < length, covs, 0)[0]
 
-        meta_out = jnp.zeros((1, 128), jnp.int32)
-        meta_out = _st(meta_out, 0, length)
-        meta_out = _st(meta_out, 1, status)
-        meta_out = _st(meta_out, 2, node_count)
-        meta_out = _st(meta_out, 3, n_cols)
-        meta_out_ref[0] = meta_out[0]
+            # ------------------------------------------------------------ MSA
+            n_cols = jnp.int32(0)
+            if msa:
+                # columns (F_TMP): aligned cliques share a column; column =
+                # 1 + max over all group members' preds' columns, assigned at
+                # the first member in topological order (poa_ops.msa_columns)
+                def col_init(u, _):
+                    nf[F_TMP, u] = -1
+                    return ()
+                jax.lax.fori_loop(0, N, col_init, ())
+
+                def col_body(r, ncols):
+                    u = nf[F_ORDER, r]
+
+                    def assign(ncols):
+                        nalig_u = nf[F_NALIG, u]
+                        members = [u] + [alig_s[a, u] for a in range(A)]
+                        m_ok = [jnp.bool_(True)] + [a < nalig_u
+                                                    for a in range(A)]
+                        c = jnp.int32(-1)
+                        for mi in range(A + 1):
+                            mc = jnp.clip(members[mi], 0, N - 1)
+                            np_m = jnp.where(m_ok[mi], nf[F_NPRED, mc], 0)
+                            for p in range(P):
+                                pc = nf[F_TMP,
+                                        jnp.clip(pred_s[p, mc], 0, N - 1)]
+                                c = jnp.maximum(c, jnp.where(p < np_m, pc, -1))
+                        c = c + 1
+                        for mi in range(A + 1):
+                            mc = jnp.clip(members[mi], 0, N - 1)
+                            do = m_ok[mi] & (members[mi] >= 0)
+                            nf[F_TMP, mc] = jnp.where(do, c, nf[F_TMP, mc])
+                        return jnp.maximum(ncols, c + 1)
+
+                    return jax.lax.cond(nf[F_TMP, u] < 0, assign,
+                                        lambda n: n, ncols)
+
+                n_cols = jax.lax.fori_loop(0, node_count, col_body, jnp.int32(0))
+
+                for s in range(S):
+                    def row_body(i, row, s=s):
+                        u = paths_s[s, i]
+
+                        def put(row):
+                            uc = jnp.clip(u, 0, N - 1)
+                            c = jnp.clip(nf[F_TMP, uc], 0, MCOL - 1)
+                            return _st(row, c, nf[F_BASE, uc])
+
+                        return jax.lax.cond(u >= 0, put, lambda r: r, row)
+
+                    row = jax.lax.fori_loop(
+                        0, L, row_body, jnp.full((1, MCOL), -1, jnp.int32))
+                    rows_ref[s] = row[0]
+
+            meta_out = jnp.zeros((1, 128), jnp.int32)
+            meta_out = _st(meta_out, 0, length)
+            meta_out = _st(meta_out, 1, status)
+            meta_out = _st(meta_out, 2, node_count)
+            meta_out = _st(meta_out, 3, n_cols)
+            meta_out_ref[0] = meta_out[0]
+
+        return dict(nf=nf, pred_s=pred_s, init=init, slen=slen_of,
+                    active=active_of, topsort=topsort, traceback=traceback,
+                    add=add_alignment, final=final_body)
 
     dims = dict(N=N, P=P, A=A, S=S, L=L, L1=L1, MC=MC, TL=TL)
     return kernel, dims
+
+
+def smem_bytes_per_window(bs: BatchSize, msa: bool = False) -> int:
+    """SMEM bytes one window's scratch + double-buffered scalar inputs
+    need inside the kernel.  models/poa uses this to route window plans
+    that cannot fit the ~1 MiB/core SMEM to the XLA backend."""
+    N = round_up(bs.padded_nodes, 8)
+    L = bs.padded_seq
+    NS = round_up(N, 128)
+    TLS = round_up(N + L, 128)
+    S8 = round_up(bs.max_sequences_per_poa, 8)
+    L128 = round_up(L, 128)
+    N128 = round_up(N, 128)
+    return 4 * (
+        16 * NS + 2 * round_up(bs.max_pred_per_node, 8) * NS
+        + round_up(bs.max_aligned_per_node, 8) * NS
+        + 2 * TLS + (S8 * L128 if msa else 0)
+        + 2 * (2 * S8 * L128 + 128 + 3 * N128))  # inputs, 2x buffered
 
 
 @functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
@@ -719,12 +796,17 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
                      sc: PoaScores, banded: bool = False, msa: bool = False,
                      interpret: bool = False, skip: tuple = (),
-                     WPG: int = 1):
+                     WPG: int = 8):
     """Consensus (+ optional MSA) for a batch of windows.  Same contract as
     the XLA program in models/poa.py: returns (codes (W, MCp),
     covs (W, MCp), length (W,), rows (W, S, MCOLp), n_cols (W,),
     status (W,))."""
     W = seqs.shape[0]
+    if interpret:
+        # interpret mode is the semantics check: WPG=2 exercises the same
+        # lockstep code shape with a 4x smaller trace (WPG=8 is a device
+        # throughput choice, not a semantic one)
+        WPG = min(WPG, 2)
     if bs.max_sequences_per_poa >= 128:
         # n_seqs lives at lane S of the 128-lane meta row; S >= 128 would
         # silently drop the .at[] set and the kernel would read garbage.
@@ -735,6 +817,21 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
     kernel, d = build_poa_kernel(bs, sc, banded, msa, skip)
     N, S, L, L1, MC = d["N"], d["S"], d["L"], d["L1"], d["MC"]
     MCOL = round_up(N, 128)
+
+    # Scale the window sub-batch down until both on-chip memories fit:
+    # - VMEM (~16 MB/core): scores scratch (N+1, WPG, L1) int32;
+    # - SMEM (1 MB/core): the per-window node-field/pred/alig/path scratch
+    #   plus the double-buffered scalar input windows.
+    smem_per_win = smem_bytes_per_window(bs, msa)
+    while WPG > 1 and (WPG * (N + 1) * L1 * 4 > 12 * 2**20
+                       or WPG * smem_per_win > 900 * 2**10):
+        WPG //= 2
+    if smem_per_win > 900 * 2**10:
+        raise ValueError(
+            f"POA window plan needs {smem_per_win >> 10} KiB of SMEM "
+            "(> the ~1 MiB/core capacity) — shrink BatchSize "
+            "(max_nodes_per_window / max_pred_per_node / "
+            "max_sequences_per_poa) or use the XLA backend")
 
     # VMEM: shifted lane-oriented char rows (lane j holds seq[j-1])
     pad1 = jnp.full((W, S, 1), -1, jnp.int32)
@@ -805,15 +902,19 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
         pltpu.SMEM((WPG, round_up(d["P"], 8), NS), jnp.int32),  # pred
         pltpu.SMEM((WPG, round_up(d["P"], 8), NS), jnp.int32),  # predw
         pltpu.SMEM((WPG, round_up(d["A"], 8), NS), jnp.int32),  # alig
-        pltpu.SMEM((WPG, 8, TLS), jnp.int32),                  # path nodes
-        pltpu.SMEM((WPG, 8, TLS), jnp.int32),                  # path posns
-        pltpu.VMEM((WPG, round_up(N + 1, 8), L1), jnp.int32),  # scores
+        pltpu.SMEM((WPG, 1, TLS), jnp.int32),                  # path nodes
+        pltpu.SMEM((WPG, 1, TLS), jnp.int32),                  # path posns
     ]
     if msa:
         out_specs.append(vspec(S8, MCOL))
         out_shape.append(jax.ShapeDtypeStruct((Wp, S8, MCOL), jnp.int32))
-        scratch.insert(6, pltpu.SMEM((WPG, S8, L128),
-                                     jnp.int32))               # paths
+        scratch.append(pltpu.SMEM((WPG, S8, L128), jnp.int32))  # paths
+    scratch += [
+        pltpu.VMEM((WPG, L1), jnp.int32),                # pred-max assembly
+        # scores: window sub-batch on the SUBLANE axis so the lockstep NW
+        # row ops run on full (WPG, L1) tiles
+        pltpu.VMEM((round_up(N + 1, 8), WPG, L1), jnp.int32),
+    ]
 
     outs = pl.pallas_call(
         kernel,

@@ -65,6 +65,53 @@ def bench_poa():
             "detail": f"{W} windows x {S} seqs x {bs.max_sequence_size}bp"}
 
 
+def bench_poa_large():
+    """Correct-driver-shaped windows (256bp pileups, 16 deep): the NW phase
+    dominates here, so the lockstep window-batched kernel gets much closer
+    to its vector roofline than on the small-window config."""
+    from claragenomicsanalysis_tpu.bench.harness import time_scanned
+    from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
+    from claragenomicsanalysis_tpu.models.poa import _build_program
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        encode, generate_random_genome, mutate_sequence)
+
+    bs = BatchSize(max_sequence_size=512, max_sequences_per_poa=16,
+                   max_pred_per_node=16, max_aligned_per_node=8,
+                   max_nodes_per_window=1024)
+    sc = PoaScores()
+    from claragenomicsanalysis_tpu.ops.nw_band_pallas import pallas_available
+    if pallas_available():
+        import functools
+        from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
+        program = functools.partial(poa_batch_pallas, bs=bs, sc=sc)
+    else:
+        program = _build_program(bs, sc, False)
+    W, S, L = 32, 16, bs.padded_seq
+    rng = np.random.default_rng(0)
+    datasets = []
+    for _ in range(2):
+        seqs = np.full((W, S, L), -1, np.int32)
+        weights = np.zeros((W, S, L), np.int32)
+        lens = np.zeros((W, S), np.int32)
+        n_seqs = np.full(W, S, np.int32)
+        for wi in range(W):
+            base = generate_random_genome(256, rng)
+            for si in range(S):
+                s = mutate_sequence(base, 12, rng)[:bs.max_sequence_size]
+                seqs[wi, si, : len(s)] = encode(s)
+                weights[wi, si, : len(s)] = 1
+                lens[wi, si] = len(s)
+        datasets.append((seqs, weights, lens, n_seqs))
+
+    fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
+    dt = time_scanned(fn, datasets, loops=1)
+    cells = W * (S - 1) * bs.padded_nodes * (bs.padded_seq + 1)
+    return {"metric": "POA DP cell-updates/s/chip (256bp x16 pileups)",
+            "value": round(cells / dt / 1e9, 3), "unit": "Gcells/s",
+            "vs_baseline": None,
+            "detail": f"{W} windows x {S} seqs x 256bp backbone"}
+
+
 def bench_mapper():
     from claragenomicsanalysis_tpu.core.config import MapperConfig
     from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
@@ -123,7 +170,7 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    for fn in (bench_poa, bench_mapper, bench_pipeline):
+    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_pipeline):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # noqa: BLE001
