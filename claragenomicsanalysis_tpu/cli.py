@@ -116,23 +116,49 @@ def cmd_poa(args) -> int:
 
 def cmd_map(args) -> int:
     from .io.fasta import create_fasta_parser
-    from .models.mapper import map_all_vs_all, overlaps_to_paf
+    from .models.mapper import (Overlapper, map_all_vs_all,
+                                map_query_vs_target, overlaps_to_paf)
     from .parallel.mesh import axis_meshes
     parser = create_fasta_parser(args.input)
     _, mesh_rep = axis_meshes(_cli_mesh(args))
-    res = map_all_vs_all(parser, _mapper_cfg(args), mesh=mesh_rep)
+    if args.target:
+        tparser = create_fasta_parser(args.target)
+        res = map_query_vs_target(
+            parser, tparser, _mapper_cfg(args), mesh=mesh_rep,
+            target_index_size_mb=args.target_index_size or None)
+    else:
+        tparser = parser
+        res = map_all_vs_all(parser, _mapper_cfg(args), mesh=mesh_rep)
     overlaps = res.overlaps
+    if args.fuse_overlaps:
+        overlaps = Overlapper.fuse_overlaps(overlaps,
+                                            max_gap=args.fusion_max_gap)
     if args.rescue_overlap_ends:
-        from .models.mapper import Overlapper
-        overlaps = Overlapper.rescue_overlap_ends(
-            overlaps, parser, extension=args.rescue_extension,
-            required_similarity=args.rescue_similarity)
-    for row in overlaps_to_paf(overlaps, parser):
+        if args.target:
+            print("warning: --rescue-overlap-ends is all-vs-all only; "
+                  "skipped", file=sys.stderr)
+        else:
+            overlaps = Overlapper.rescue_overlap_ends(
+                overlaps, parser, extension=args.rescue_extension,
+                required_similarity=args.rescue_similarity)
+    for row in overlaps_to_paf(overlaps, parser, tparser):
         print(row)
     bad = [s for s in res.statuses if s != StatusType.SUCCESS]
     if bad:
         print(f"warning: {len(bad)} batch(es) overflowed anchors",
               file=sys.stderr)
+    return 0
+
+
+def cmd_evaluate(args) -> int:
+    """PAF-vs-truth recall/precision on simulated reads (reference:
+    pyclaragenomics evaluation scripts [U])."""
+    from .evaluation import evaluate_paf, read_truth
+    from .io.paf import read_paf
+    truth = read_truth(args.truth)
+    metrics = evaluate_paf(read_paf(args.paf), truth,
+                           min_overlap_bases=args.min_overlap_bases)
+    print(json.dumps(metrics))
     return 0
 
 
@@ -147,11 +173,15 @@ def cmd_simulate(args) -> int:
     print(f">reference\n{genome}" if args.reads == 0 else "", end="")
     if args.reads:
         rsim = NoisyReadSimulator(seed=args.seed, error_rate=args.error_rate)
-        for r in rsim.generate_reads(genome, args.reads, args.read_length):
+        reads = rsim.generate_reads(genome, args.reads, args.read_length)
+        for r in reads:
             print(f">{r.name}\n{r.seq}")
         if args.reference_out:
             with open(args.reference_out, "w") as f:
                 f.write(f">reference\n{genome}\n")
+        if args.truth_out:
+            from .evaluation import write_truth
+            write_truth(reads, args.truth_out)
     return 0
 
 
@@ -221,9 +251,21 @@ def main(argv=None) -> int:
     p.add_argument("--band-width", type=int, default=256)
     p.set_defaults(fn=cmd_poa)
 
-    m = sub.add_parser("map", help="all-vs-all overlap, PAF to stdout")
-    m.add_argument("input")
+    m = sub.add_parser("map", help="overlap mapping, PAF to stdout: "
+                                   "all-vs-all (one input) or "
+                                   "query-vs-target (two inputs)")
+    m.add_argument("input", help="query reads FASTA (all-vs-all when no "
+                                 "target is given)")
+    m.add_argument("target", nargs="?", default="",
+                   help="optional target FASTA (query-vs-target mode)")
     _add_mapper_flags(m)
+    m.add_argument("-t", "--target-index-size", type=int, default=0,
+                   help="target index batch budget, MB of bases "
+                        "(default: same as -i)")
+    m.add_argument("--fuse-overlaps", action="store_true",
+                   help="merge adjacent candidate overlaps on the same "
+                        "(query, target, strand)")
+    m.add_argument("--fusion-max-gap", type=int, default=500)
     m.add_argument("-d", "--devices", type=int, default=1,
                    help="shard matching over this many devices (rep axis)")
     m.add_argument("--rescue-overlap-ends", action="store_true",
@@ -241,7 +283,16 @@ def main(argv=None) -> int:
     sm.add_argument("--seed", type=int, default=0)
     sm.add_argument("--markov", action="store_true")
     sm.add_argument("--reference-out", default="")
+    sm.add_argument("--truth-out", default="",
+                    help="write read placement truth TSV (for `evaluate`)")
     sm.set_defaults(fn=cmd_simulate)
+
+    ev = sub.add_parser("evaluate",
+                        help="PAF recall/precision vs simulated-read truth")
+    ev.add_argument("truth", help="truth TSV from simulate --truth-out")
+    ev.add_argument("paf")
+    ev.add_argument("--min-overlap-bases", type=int, default=100)
+    ev.set_defaults(fn=cmd_evaluate)
 
     pl = sub.add_parser("pipeline", help="map + align, PAF with CIGARs")
     pl.add_argument("input")

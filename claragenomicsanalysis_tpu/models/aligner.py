@@ -165,9 +165,11 @@ class Aligner:
             ))
         return out
 
-    #: total traceback bytes in flight per dispatch (bounds device memory
-    #: when the adaptive band is wide); buckets larger than this are chunked
-    TB_BYTES_PER_DISPATCH = 1 << 28
+    #: device-memory budget per dispatch (bounds traceback bytes in flight
+    #: when the adaptive band is wide); core.bufferplan turns this into a
+    #: problems-per-batch count, the reference's batched_device_matrices
+    #: slab arithmetic
+    MEM_BUDGET_PER_DISPATCH = 1 << 28
 
     def _run_ukkonen(self, q, qlen, t, tlen):
         """Banded NW with the reference's adaptive Ukkonen band
@@ -193,10 +195,13 @@ class Aligner:
 
         paths: list[list[int]] = [[] for _ in range(B)]
         scores = np.zeros(B, dtype=np.int32)
-        Lq = q.shape[1]
+        from dataclasses import replace as dc_replace
+
+        from ..core.bufferplan import plan_aligner_batch
         for r, idxs in sorted(buckets.items()):
-            chunk = max(1, self.TB_BYTES_PER_DISPATCH
-                        // (Lq * nw_band.band_width(r)))
+            plan = plan_aligner_batch(dc_replace(cfg, band_radius=r),
+                                      self.MEM_BUDGET_PER_DISPATCH)
+            chunk = plan.problems_per_batch
             for s0 in range(0, len(idxs), chunk):
                 sel = np.array(idxs[s0: s0 + chunk])
                 sc, tb = fn(q[sel], qlen[sel], t[sel], tlen[sel], r)

@@ -141,11 +141,17 @@ def _window_supports(read_seq: str, overlaps: list[Overlap],
     return supports
 
 
+#: device-memory budget for one POA dispatch of the polishing stage;
+#: core.bufferplan turns this into a windows-per-dispatch count
+POA_MEM_BUDGET = 1 << 30
+
+
 def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
-                    windows_per_dispatch: int) -> tuple[list[str], int]:
+                    windows_per_dispatch: int | None) -> tuple[list[str], int]:
     """POA consensus for each job (= [backbone, support...]).  Returns the
     consensus strings (backbone kept where POA fails) and the failure
-    count."""
+    count.  windows_per_dispatch=None sizes dispatches from the
+    core.bufferplan capacity arithmetic (the BatchBlock analog)."""
     W = cfg.window_length
     # deep noisy pileups accumulate many deletion skip-edges per node; the
     # default pred cap of 4 (CUDAPOA_MAX_NODE_EDGES analog) overflows at
@@ -158,6 +164,10 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
                    max_sequences_per_poa=cfg.max_support + 1,
                    max_pred_per_node=max(4, cfg.max_support + 1),
                    max_aligned_per_node=max(4, (cfg.max_support + 1) // 2))
+    if windows_per_dispatch is None:
+        from ..core.bufferplan import plan_poa_batch
+        windows_per_dispatch = plan_poa_batch(
+            bs, POA_MEM_BUDGET).problems_per_batch
     out: list[str] = []
     n_failed = 0
     for start in range(0, len(jobs), windows_per_dispatch):
@@ -177,7 +187,7 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
 
 def _correct_part(read_ids: list[int], by_query: dict[int, list[Overlap]],
                   parser: FastaParser, cfg: CorrectConfig, mesh,
-                  windows_per_dispatch: int):
+                  windows_per_dispatch: int | None):
     """Correct one contiguous part of reads.  Returns (seqs, n_windows,
     n_polished, n_failed)."""
     # 1) per-overlap exact alignments for this part's reads
@@ -224,7 +234,7 @@ def _correct_part(read_ids: list[int], by_query: dict[int, list[Overlap]],
 
 def correct_reads(parser: FastaParser, cfg: CorrectConfig, mesh=None,
                   work_dir: str | None = None, part_size: int = 64,
-                  windows_per_dispatch: int = 256,
+                  windows_per_dispatch: int | None = None,
                   fail_after_parts: int | None = None) -> CorrectResult:
     """Correct every read of `parser` against all others.
 

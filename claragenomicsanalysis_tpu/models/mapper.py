@@ -240,6 +240,52 @@ class Overlapper:
                      - o.target_start_position_in_read) >= min_overlap_len]
 
     @staticmethod
+    def fuse_overlaps(overlaps: list[Overlap],
+                      max_gap: int = 500) -> list[Overlap]:
+        """Merge runs of overlaps on the same (query, target, strand) whose
+        successive query/target gaps both fit within max_gap (reference:
+        OverlapperTriggered fuses adjacent candidate overlaps [U]; exact
+        rule OURS, documented here).  Canonical rule: overlaps are taken in
+        Overlap.key() order; a candidate fuses into the previous fused
+        overlap when query gap <= max_gap and strand-oriented target gap
+        <= max_gap (negative gaps, i.e. overlapping spans, always fuse).
+        The fused overlap covers the union of spans, sums num_residues and
+        drops any per-part CIGAR."""
+        out: list[Overlap] = []
+        for o in sorted(overlaps, key=lambda o: o.key()):
+            last = out[-1] if out else None
+            if (last is not None
+                    and last.query_read_id == o.query_read_id
+                    and last.target_read_id == o.target_read_id
+                    and last.relative_strand == o.relative_strand):
+                qgap = (o.query_start_position_in_read
+                        - last.query_end_position_in_read)
+                if o.relative_strand == "+":
+                    tgap = (o.target_start_position_in_read
+                            - last.target_end_position_in_read)
+                else:
+                    # '-' chains walk the target backwards in query order
+                    tgap = (last.target_start_position_in_read
+                            - o.target_end_position_in_read)
+                if qgap <= max_gap and tgap <= max_gap:
+                    out[-1] = replace(
+                        last,
+                        query_end_position_in_read=max(
+                            last.query_end_position_in_read,
+                            o.query_end_position_in_read),
+                        target_start_position_in_read=min(
+                            last.target_start_position_in_read,
+                            o.target_start_position_in_read),
+                        target_end_position_in_read=max(
+                            last.target_end_position_in_read,
+                            o.target_end_position_in_read),
+                        num_residues=last.num_residues + o.num_residues,
+                        cigar="")
+                    continue
+            out.append(replace(o))
+        return out
+
+    @staticmethod
     def rescue_overlap_ends(overlaps: list[Overlap], parser: FastaParser,
                             extension: int = 50,
                             required_similarity: float = 0.85,
@@ -310,26 +356,71 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     `mesh`: optional Mesh — matching is rep-sharded across its 'rep' axis
     (the reference's one-worker-thread-per-GPU becomes sharded XLA programs);
     output is bit-identical for any mesh size by the canonical merge order."""
+    from ..utils.threadsafe import prefetch_map
     chunks = parser.get_chunks(cfg.index_size_mb * 1_000_000)
     cache = IndexCache()
     all_overlaps: list[Overlap] = []
     statuses: list[StatusType] = []
-    for (qf, ql) in chunks:
-        qidx = cache.get_or_create(parser, qf, ql, cfg)
-        for (tf, tl) in chunks:
-            tidx = cache.get_or_create(parser, tf, tl, cfg)
-            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
-                                             mesh=mesh)
-            statuses.append(matcher.status)
-            all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(), cfg))
+
+    def build_pair(pair):
+        (qf, ql), (tf, tl) = pair
+        return (cache.get_or_create(parser, qf, ql, cfg),
+                cache.get_or_create(parser, tf, tl, cfg))
+
+    pairs = ((q, t) for q in chunks for t in chunks)
+    # prefetch_map builds the NEXT pair's indices (parser reads + numpy
+    # packing + sketch dispatch) on a worker thread while this thread
+    # chains and downloads the current pair — the host/device overlap the
+    # reference gets from its per-GPU worker threads.  The cache is only
+    # touched by the single producer thread.
+    for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
+        matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
+                                         mesh=mesh)
+        statuses.append(matcher.status)
+        all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(), cfg))
     all_overlaps.sort(key=lambda o: o.key())
     return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
 
 
-def overlaps_to_paf(overlaps: list[Overlap], parser: FastaParser) -> list[str]:
+def map_query_vs_target(query_parser: FastaParser,
+                        target_parser: FastaParser, cfg: MapperConfig,
+                        max_anchors: int = 1 << 24, mesh=None,
+                        target_index_size_mb: int | None = None) -> MapResult:
+    """Two-file mapping: every query read against every target read
+    (reference: the cudamapper CLI's query-vs-target mode with separate
+    -i/-t index budgets [U]).  `target_index_size_mb` is the -t analog
+    (defaults to the query budget).  Self-mapping suppression is OFF:
+    query and target are distinct files, so equal numeric read ids are
+    unrelated reads."""
+    qchunks = query_parser.get_chunks(cfg.index_size_mb * 1_000_000)
+    t_mb = (target_index_size_mb if target_index_size_mb is not None
+            else cfg.index_size_mb)
+    tchunks = target_parser.get_chunks(t_mb * 1_000_000)
+    cfg = replace(cfg, skip_self_mappings=False)
+    cache = IndexCache()
+    all_overlaps: list[Overlap] = []
+    statuses: list[StatusType] = []
+    for (qf, ql) in qchunks:
+        qidx = cache.get_or_create(query_parser, qf, ql, cfg)
+        for (tf, tl) in tchunks:
+            tidx = cache.get_or_create(target_parser, tf, tl, cfg)
+            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
+                                             mesh=mesh)
+            statuses.append(matcher.status)
+            all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(),
+                                                        cfg))
+    all_overlaps.sort(key=lambda o: o.key())
+    return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
+
+
+def overlaps_to_paf(overlaps: list[Overlap], parser: FastaParser,
+                    target_parser: FastaParser | None = None) -> list[str]:
+    """PAF rows; `target_parser` resolves target read names/lengths when
+    the overlaps came from a two-file (query-vs-target) run."""
+    tp = target_parser if target_parser is not None else parser
     rows = []
     for o in overlaps:
         q = parser.get_sequence_by_id(o.query_read_id)
-        t = parser.get_sequence_by_id(o.target_read_id)
+        t = tp.get_sequence_by_id(o.target_read_id)
         rows.append(format_paf_row(o, q.name, len(q.seq), t.name, len(t.seq)))
     return rows

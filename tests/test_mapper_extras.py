@@ -1,0 +1,148 @@
+"""Query-vs-target mapping, overlap fusion, and the PAF-vs-truth
+evaluator (SURVEY.md §2.4 CLI row, OverlapperTriggered fusion, §2.5
+evaluation scripts)."""
+
+import json
+
+import pytest
+
+from claragenomicsanalysis_tpu.core.config import MapperConfig
+from claragenomicsanalysis_tpu.core.types import Overlap
+from claragenomicsanalysis_tpu.evaluation import (evaluate_paf, read_truth,
+                                                  true_pairs, write_truth)
+from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+from claragenomicsanalysis_tpu.io.paf import read_paf
+from claragenomicsanalysis_tpu.models.mapper import (
+    Overlapper, map_all_vs_all, map_query_vs_target, overlaps_to_paf)
+from claragenomicsanalysis_tpu.simulators.genomesim import PoissonGenomeSimulator
+from claragenomicsanalysis_tpu.simulators.readsim import NoisyReadSimulator
+
+
+@pytest.fixture(scope="module")
+def sim():
+    genome = PoissonGenomeSimulator(seed=21).build_reference(20_000)
+    reads = NoisyReadSimulator(seed=21, error_rate=0.05).generate_reads(
+        genome, 40, 2000)
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(r.name, r.seq) for r in reads])
+    cfg = MapperConfig(kmer_size=15, window_size=5, min_overlap_len=100,
+                       min_overlap_fraction=0.3, min_bases_per_residue=500)
+    return genome, reads, parser, cfg
+
+
+def test_query_vs_target_genome_placement(sim):
+    """Mapping reads against their source genome recovers the simulated
+    placements."""
+    genome, reads, parser, cfg = sim
+    gparser = FastaParser("<mem>", records=[FastaSequence("ref", genome)])
+    res = map_query_vs_target(parser, gparser, cfg)
+    placed = {}
+    for o in res.overlaps:
+        span = (o.target_end_position_in_read
+                - o.target_start_position_in_read)
+        prev = placed.get(o.query_read_id)
+        if prev is None or span > prev[1]:
+            placed[o.query_read_id] = (o, span)
+    assert len(placed) >= 0.9 * len(reads)
+    ok = 0
+    for qid, (o, _) in placed.items():
+        r = reads[qid]
+        if (abs(o.target_start_position_in_read - r.reference_start) < 300
+                and abs(o.target_end_position_in_read - r.reference_end)
+                < 300):
+            ok += 1
+    assert ok >= 0.9 * len(placed)
+
+
+def test_query_vs_target_paf_uses_both_parsers(sim):
+    genome, _, parser, cfg = sim
+    gparser = FastaParser("<mem>", records=[FastaSequence("ref", genome)])
+    res = map_query_vs_target(parser, gparser, cfg)
+    rows = overlaps_to_paf(res.overlaps, parser, gparser)
+    assert rows
+    for row in rows:
+        cols = row.split("\t")
+        assert cols[5] == "ref" and int(cols[6]) == len(genome)
+        assert cols[0].startswith("read_")
+
+
+def _ov(q, t, qs, qe, ts, te, strand="+", res=5):
+    return Overlap(q, t, qs, qe, ts, te, res, strand)
+
+
+def test_fuse_overlaps_plus_strand():
+    a = _ov(1, 2, 100, 500, 1000, 1400)
+    b = _ov(1, 2, 600, 900, 1500, 1800)     # gaps 100/100 -> fuse
+    c = _ov(1, 2, 5000, 5400, 5900, 6300)   # far -> separate
+    fused = Overlapper.fuse_overlaps([c, b, a], max_gap=500)
+    assert len(fused) == 2
+    f = fused[0]
+    assert (f.query_start_position_in_read,
+            f.query_end_position_in_read) == (100, 900)
+    assert (f.target_start_position_in_read,
+            f.target_end_position_in_read) == (1000, 1800)
+    assert f.num_residues == 10
+    assert fused[1] == c
+
+
+def test_fuse_overlaps_minus_strand():
+    # '-' chains walk target backwards in query order
+    a = _ov(3, 4, 100, 500, 2000, 2400, "-")
+    b = _ov(3, 4, 600, 900, 1500, 1900, "-")   # tgap = 2000-1900 = 100
+    fused = Overlapper.fuse_overlaps([a, b], max_gap=500)
+    assert len(fused) == 1
+    f = fused[0]
+    assert (f.query_start_position_in_read,
+            f.query_end_position_in_read) == (100, 900)
+    assert (f.target_start_position_in_read,
+            f.target_end_position_in_read) == (1500, 2400)
+
+
+def test_fuse_respects_strand_and_ids():
+    a = _ov(1, 2, 100, 500, 1000, 1400, "+")
+    b = _ov(1, 2, 600, 900, 1500, 1800, "-")
+    c = _ov(1, 3, 600, 900, 1500, 1800, "+")
+    assert len(Overlapper.fuse_overlaps([a, b, c])) == 3
+
+
+def test_true_pairs_and_evaluator(sim, tmp_path):
+    genome, reads, parser, cfg = sim
+    truth_path = str(tmp_path / "truth.tsv")
+    write_truth(reads, truth_path)
+    truth = read_truth(truth_path)
+    assert len(truth) == len(reads)
+    tp = true_pairs(truth, 100)
+    assert tp  # 40 x 2kb reads on 20kb genome must overlap somewhere
+
+    res = map_all_vs_all(parser, cfg)
+    paf_path = str(tmp_path / "out.paf")
+    with open(paf_path, "w") as f:
+        for row in overlaps_to_paf(res.overlaps, parser):
+            f.write(row + "\n")
+    metrics = evaluate_paf(read_paf(paf_path), truth, 100)
+    assert metrics["recall"] >= 0.7, metrics
+    assert metrics["precision"] >= 0.95, metrics
+
+
+def test_cli_evaluate_and_two_file_map(sim, tmp_path, capsys):
+    from claragenomicsanalysis_tpu.cli import main
+    genome, reads, _, _ = sim
+    qf = tmp_path / "q.fasta"
+    qf.write_text("".join(f">{r.name}\n{r.seq}\n" for r in reads[:10]))
+    tf = tmp_path / "t.fasta"
+    tf.write_text(f">ref\n{genome}\n")
+    rc = main(["map", str(qf), str(tf), "-k", "15", "-w", "5",
+               "--min-overlap-len", "100", "--min-overlap-fraction", "0.3",
+               "--min-bases-per-residue", "500", "--fuse-overlaps"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().split("\n")
+    assert out and all(r.split("\t")[5] == "ref" for r in out)
+
+    truth_path = tmp_path / "truth.tsv"
+    write_truth(reads, str(truth_path))
+    paf_path = tmp_path / "o.paf"
+    paf_path.write_text("")  # empty PAF -> recall 0 (or 1 if no truth)
+    rc = main(["evaluate", str(truth_path), str(paf_path)])
+    assert rc == 0
+    metrics = json.loads(capsys.readouterr().out)
+    assert metrics["reported_pairs"] == 0
