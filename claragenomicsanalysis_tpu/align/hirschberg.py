@@ -56,8 +56,16 @@ def _pad_batch(seqs: list[np.ndarray], L: int, B: int | None = None
 
 
 def hirschberg_align_batch(queries: list[str], targets: list[str],
-                           cfg: AlignerConfig):
-    """Returns (paths, dists, statuses) matching models.aligner's contract."""
+                           cfg: AlignerConfig, mesh=None,
+                           sp_min_len: int | None = None):
+    """Returns (paths, dists, statuses) matching models.aligner's contract.
+
+    mesh + sp_min_len: levels whose padded target side reaches sp_min_len
+    compute their forward/reverse bottom rows on the 'sp' ring-wavefront
+    kernel (parallel/ring_nw.py) instead of single-chip Myers — the
+    sequence-parallel path for fragments too long for one chip's
+    VMEM-resident stripe.  Split selection is the same argmin over the
+    same unit-cost rows, so routing does not change results."""
     B = len(queries)
     qcodes = [encode(s) for s in queries]
     tcodes = [encode(s) for s in targets]
@@ -69,7 +77,8 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
         split = [f for f in frags if f.qhi - f.qlo > BASE_Q]
         if base:
             _solve_base(base, qcodes, tcodes, pieces)
-        frags = _split_level(split, qcodes, tcodes) if split else []
+        frags = (_split_level(split, qcodes, tcodes, mesh, sp_min_len)
+                 if split else [])
 
     paths = []
     dists = np.zeros(B, dtype=np.int64)
@@ -116,9 +125,10 @@ def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
             pieces[f.pair].append((f.qlo, f.tlo, p))
 
 
-def _split_level(split: list[_Frag], qcodes, tcodes) -> list[_Frag]:
-    """One D&C level: forward + reverse Myers rows for every fragment in one
-    batched call each; emit the two child fragments per input."""
+def _split_level(split: list[_Frag], qcodes, tcodes, mesh=None,
+                 sp_min_len: int | None = None) -> list[_Frag]:
+    """One D&C level: forward + reverse bottom rows for every fragment in
+    one batched call each; emit the two child fragments per input."""
     mids = [(f.qlo + f.qhi) // 2 for f in split]
     fwd_q = [qcodes[f.pair][f.qlo:m] for f, m in zip(split, mids)]
     rev_q = [qcodes[f.pair][m:f.qhi][::-1] for f, m in zip(split, mids)]
@@ -140,10 +150,18 @@ def _split_level(split: list[_Frag], qcodes, tcodes) -> list[_Frag]:
     qlen[half: half + n] = [len(x) for x in rev_q]
     tlen[:n] = [len(x) for x in fwd_t]
     tlen[half: half + n] = [len(x) for x in rev_t]
+    use_sp = (mesh is not None and sp_min_len is not None
+              and Lt >= sp_min_len)
+    if use_sp:
+        # sequence-parallel rows: target axis sharded over the 'sp' ring
+        from ..parallel.ring_nw import ring_wavefront_nw_rows
+        rows = jnp.asarray(
+            ring_wavefront_nw_rows(q, qlen, t, tlen, mesh)[:, :Lt + 1])
+    else:
+        rows = myers_bottom_row(q, qlen, t, tlen)[0]
     # split columns computed ON DEVICE: only (n,) ints leave the chip,
     # instead of the full (Bp, Lt+1) forward+reverse row matrices
-    jstars = np.asarray(_split_points(
-        myers_bottom_row(q, qlen, t, tlen)[0], jnp.asarray(tlen), half))
+    jstars = np.asarray(_split_points(rows, jnp.asarray(tlen), half))
 
     out: list[_Frag] = []
     for i, (f, m) in enumerate(zip(split, mids)):

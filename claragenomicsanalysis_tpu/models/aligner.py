@@ -63,12 +63,17 @@ class Aligner:
     """Batched global aligner over statically-shaped device arrays."""
 
     def __init__(self, config: AlignerConfig, algorithm: str = "ukkonen",
-                 backend: str = "auto"):
+                 backend: str = "auto", mesh=None,
+                 sp_min_len: int | None = None):
         if algorithm not in ("ukkonen", "myers", "hirschberg-myers"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.config = config
         self.algorithm = algorithm
         self.backend = backend
+        # hirschberg-myers only: levels with padded target >= sp_min_len
+        # compute their bottom rows on the mesh's 'sp' ring-wavefront axis
+        self.mesh = mesh
+        self.sp_min_len = sp_min_len
         self._queries: list[str] = []
         self._targets: list[str] = []
         self._results: list[Alignment] | None = None
@@ -142,7 +147,8 @@ class Aligner:
             if self.algorithm == "hirschberg-myers":
                 from ..align.hirschberg import hirschberg_align_batch
                 paths, dists, statuses = hirschberg_align_batch(
-                    self._queries, self._targets, cfg)
+                    self._queries, self._targets, cfg, mesh=self.mesh,
+                    sp_min_len=self.sp_min_len)
             elif self.algorithm == "myers":
                 from ..align.myers_aligner import myers_align_batch
                 paths, dists, statuses = myers_align_batch(
@@ -226,12 +232,15 @@ def create_aligner(max_query_length: int, max_target_length: int,
                    max_alignments: int,
                    alignment_type: AlignmentType = AlignmentType.GLOBAL_ALIGNMENT,
                    band_radius: int = 64, algorithm: str = "ukkonen",
-                   backend: str = "auto") -> Aligner:
-    """Factory mirroring the reference's create_aligner [U]."""
+                   backend: str = "auto", mesh=None,
+                   sp_min_len: int | None = None) -> Aligner:
+    """Factory mirroring the reference's create_aligner [U].  mesh +
+    sp_min_len route long hirschberg-myers levels to the 'sp' ring axis."""
     if alignment_type != AlignmentType.GLOBAL_ALIGNMENT:
         raise ValueError("only global alignment is supported")
     cfg = AlignerConfig(max_query_length=max_query_length,
                         max_target_length=max_target_length,
                         max_alignments=max_alignments,
                         band_radius=band_radius)
-    return Aligner(cfg, algorithm=algorithm, backend=backend)
+    return Aligner(cfg, algorithm=algorithm, backend=backend, mesh=mesh,
+                   sp_min_len=sp_min_len)

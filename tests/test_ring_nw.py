@@ -63,3 +63,54 @@ def test_ring_nw_sp_count_invariance(rng):
             for s in (1, 2, 8)]
     for o in outs[1:]:
         np.testing.assert_array_equal(outs[0], o)
+
+
+def test_ring_rows_match_myers_rows(rng):
+    """Bottom rows from the sp ring == Myers bottom rows (the Hirschberg
+    split input), bit for bit."""
+    from claragenomicsanalysis_tpu.ops.myers import myers_bottom_row
+    from claragenomicsanalysis_tpu.parallel.ring_nw import (
+        ring_wavefront_nw_rows)
+    import jax.numpy as jnp
+    mesh = make_mesh(data=1, rep=1, sp=8)
+    qs, ts, q, qlen, t, tlen = _batch(rng, B=4, Lq=64, Lt=96)
+    want = np.asarray(myers_bottom_row(jnp.asarray(q), jnp.asarray(qlen),
+                                       jnp.asarray(t), jnp.asarray(tlen))[0])
+    got = ring_wavefront_nw_rows(q, qlen, t, tlen, mesh)
+    # columns beyond tlen are defined-but-unused by both (callers mask)
+    for b in range(len(qs)):
+        np.testing.assert_array_equal(got[b, : tlen[b] + 1],
+                                      want[b, : tlen[b] + 1])
+
+
+def test_hirschberg_routes_long_pairs_to_sp(rng, monkeypatch):
+    """A pair whose top levels exceed the sp threshold aligns via the
+    ring-wavefront rows on the 8-fake-device mesh: Myers is never invoked
+    at or above the threshold, and the path cost equals the oracle edit
+    distance."""
+    from claragenomicsanalysis_tpu.align import hirschberg
+    from claragenomicsanalysis_tpu.core.config import AlignerConfig
+
+    a = generate_random_genome(1500, rng)
+    b = mutate_sequence(a, 60, rng)
+    mesh = make_mesh(data=1, rep=1, sp=8)
+    SP_MIN = 512
+
+    real_myers = hirschberg.myers_bottom_row
+
+    def guarded(q, qlen, t, tlen):
+        assert t.shape[1] < SP_MIN, (
+            "single-chip Myers used for a level the sp path must own")
+        return real_myers(q, qlen, t, tlen)
+
+    monkeypatch.setattr(hirschberg, "myers_bottom_row", guarded)
+    cfg = AlignerConfig(max_query_length=2048, max_target_length=2048,
+                        max_alignments=1)
+    paths, dists, statuses = hirschberg.hirschberg_align_batch(
+        [a], [b], cfg, mesh=mesh, sp_min_len=SP_MIN)
+    want = nw_oracle.nw_matrix(a, b)[len(a), len(b)]
+    assert int(dists[0]) == int(want)
+    # the path must be a valid global alignment of the pair
+    nq = sum(1 for s in paths[0] if s in (0, 1, 2))
+    nt = sum(1 for s in paths[0] if s in (0, 1, 3))
+    assert (nq, nt) == (len(a), len(b))
