@@ -12,6 +12,15 @@ roofline of ~4.56e12 cells/s.  vs_baseline = value / 4.56e12 (1.0 == at
 roofline).  For scale: the banded-NW wavefront kernel (the traceback path)
 sustains ~94 Gcells/s on the same chip — Myers advances 32 cells per word op.
 
+Why the kernel sits at ~0.86x and not higher (audited 2026-08-17): the ALU
+roofline ignores the Pv/Mv state traffic — each word update also issues 2
+VMEM loads + 2 stores, i.e. ~31 issue slots per 27 ALU ops, predicting
+27/31 = 0.87x, which matches the measurement.  A register-resident variant
+(Pv/Mv hoisted across the 32-column grid step) measures IDENTICAL
+(3.83 vs 3.85 Tcells/s): the state is Wq x SUB = 128 vregs per array, far
+over the register file, so Mosaic spills it back to VMEM.  Closing the gap
+would need fewer ops/word; Hyyro's blocked formulation is already minimal.
+
 Timing methodology (see claragenomicsanalysis_tpu/bench/harness.py): one
 dispatch scanning K distinct device-resident datasets with enough on-device
 loops that compute dominates the ~30 ms tunnel latency (the Myers kernel
