@@ -13,8 +13,9 @@ cluster scale): jax.distributed is fail-fast — a lost host aborts the step —
 and the all-vs-all manifest (parallel/manifest.py) makes the driver-level
 restart resume from the last completed (query batch x target batch) pair.
 
-Untestable in this sandbox (single process); exercised logic is the mesh
-construction, which tests cover via the same code path on fake devices.
+Tested in-sandbox by tests/test_multihost_distributed.py: two spawned
+processes form the process group over loopback and run a cross-process
+shard_map psum + all-gather through Gloo on fake CPU devices.
 """
 
 import numpy as np
