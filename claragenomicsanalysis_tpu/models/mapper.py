@@ -202,11 +202,22 @@ class Matcher:
         return {k: np.asarray(v) for k, v in self._anchors.items()}
 
 
+def _canonical_order(rows: np.ndarray) -> np.ndarray:
+    """Overlap.key() order as one numpy lexsort over (8, n) overlap rows
+    (lexsort keys are least-significant first)."""
+    return np.lexsort((rows[5], rows[3], rows[4], rows[2], rows[7],
+                       rows[1], rows[0]))
+
+
 class Overlapper:
     """Triggered chaining + filters (reference: OverlapperTriggered [U])."""
 
     @staticmethod
-    def get_overlaps(anchors: dict, cfg: MapperConfig) -> list[Overlap]:
+    def get_overlap_rows(anchors: dict, cfg: MapperConfig) -> np.ndarray:
+        """Chained overlaps as an (8, n) int32 array in canonical
+        Overlap.key() order (rows: q_read, t_read, q_start, q_end, t_start,
+        t_end, n_residues, strand01).  The array form is the scale path —
+        per-overlap Python objects would dominate at millions of rows."""
         frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
         with trace_range("mapper.chain"):
             out = map_ops.chain_anchors(
@@ -219,13 +230,18 @@ class Overlapper:
                 max_gap=cfg.max_anchor_gap)
             stacked, nv = map_ops.compact_overlaps(out)
             rows = np.asarray(stacked[:, : int(nv)])  # ONE small download
-        overlaps = [Overlap(
-            int(rows[0, i]), int(rows[1, i]), int(rows[2, i]),
-            int(rows[3, i]), int(rows[4, i]), int(rows[5, i]),
-            int(rows[6, i]), "+" if rows[7, i] == 0 else "-")
-            for i in range(rows.shape[1])]
-        overlaps.sort(key=lambda o: o.key())
-        return overlaps
+        return rows[:, _canonical_order(rows)]
+
+    @staticmethod
+    def rows_to_overlaps(rows: np.ndarray) -> list[Overlap]:
+        cols = rows.T.tolist()              # one bulk int conversion
+        return [Overlap(c[0], c[1], c[2], c[3], c[4], c[5], c[6],
+                        "+" if c[7] == 0 else "-") for c in cols]
+
+    @staticmethod
+    def get_overlaps(anchors: dict, cfg: MapperConfig) -> list[Overlap]:
+        return Overlapper.rows_to_overlaps(
+            Overlapper.get_overlap_rows(anchors, cfg))
 
     @staticmethod
     def filter_overlaps(overlaps: list[Overlap], min_residues: int = 0,
@@ -373,12 +389,15 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     # chains and downloads the current pair — the host/device overlap the
     # reference gets from its per-GPU worker threads.  The cache is only
     # touched by the single producer thread.
+    all_rows = []
     for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
         matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                          mesh=mesh)
         statuses.append(matcher.status)
-        all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(), cfg))
-    all_overlaps.sort(key=lambda o: o.key())
+        all_rows.append(Overlapper.get_overlap_rows(matcher.anchors(), cfg))
+    rows = (np.concatenate(all_rows, axis=1) if all_rows
+            else np.zeros((8, 0), np.int32))
+    all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])
     return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
 
 
@@ -398,8 +417,8 @@ def map_query_vs_target(query_parser: FastaParser,
     tchunks = target_parser.get_chunks(t_mb * 1_000_000)
     cfg = replace(cfg, skip_self_mappings=False)
     cache = IndexCache()
-    all_overlaps: list[Overlap] = []
     statuses: list[StatusType] = []
+    all_rows = []
     for (qf, ql) in qchunks:
         qidx = cache.get_or_create(query_parser, qf, ql, cfg)
         for (tf, tl) in tchunks:
@@ -407,9 +426,11 @@ def map_query_vs_target(query_parser: FastaParser,
             matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                              mesh=mesh)
             statuses.append(matcher.status)
-            all_overlaps.extend(Overlapper.get_overlaps(matcher.anchors(),
+            all_rows.append(Overlapper.get_overlap_rows(matcher.anchors(),
                                                         cfg))
-    all_overlaps.sort(key=lambda o: o.key())
+    rows = (np.concatenate(all_rows, axis=1) if all_rows
+            else np.zeros((8, 0), np.int32))
+    all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])
     return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
 
 
