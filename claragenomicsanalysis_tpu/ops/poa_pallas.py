@@ -803,10 +803,11 @@ def poa_batch_pallas(seqs, weights, lens, n_seqs, bs: BatchSize,
     status (W,))."""
     W = seqs.shape[0]
     if interpret:
-        # interpret mode is the semantics check: WPG=2 exercises the same
-        # lockstep code shape with a 4x smaller trace (WPG=8 is a device
-        # throughput choice, not a semantic one)
-        WPG = min(WPG, 2)
+        # interpret mode is the semantics check; default to WPG=1 to keep
+        # interpreted traces small (WPG=8 is a device throughput choice,
+        # not a semantic one).  Tests pass WPG=2 explicitly once to cover
+        # the lockstep multi-window path.
+        WPG = min(WPG, 1) if WPG >= 8 else WPG
     if bs.max_sequences_per_poa >= 128:
         # n_seqs lives at lane S of the 128-lane meta row; S >= 128 would
         # silently drop the .at[] set and the kernel would read garbage.

@@ -31,14 +31,15 @@ def _pack(bs, groups, wts=None):
     return seqs, weights, lens, n_seqs
 
 
-def _assert_equal(bs, groups, wts=None, sc=None, banded=False):
+def _assert_equal(bs, groups, wts=None, sc=None, banded=False, WPG=1):
     sc = sc or PoaScores()
     seqs, weights, lens, n_seqs = _pack(bs, groups, wts)
     prog = _build_program(bs, sc, False, banded)
     ref = tuple(np.asarray(o) for o in prog(seqs, weights, lens, n_seqs))
     got = tuple(np.asarray(o) for o in poa_batch_pallas(
         jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
-        jnp.asarray(n_seqs), bs, sc, banded=banded, interpret=True))
+        jnp.asarray(n_seqs), bs, sc, banded=banded, interpret=True,
+        WPG=WPG))
     np.testing.assert_array_equal(ref[5], got[5], err_msg="status")
     for wi in range(len(groups)):
         if ref[5][wi] != 0:
@@ -62,6 +63,20 @@ def test_random_noisy_windows(rng):
             mutate_sequence(base, int(rng.integers(1, 6)), rng)[:48]
             for _ in range(n - 1)])
     _assert_equal(BS, groups)
+
+
+def test_lockstep_multi_window(rng):
+    """WPG=2 covers the lockstep multi-window NW path: windows of different
+    node counts / lengths / activity must stay bit-identical in one
+    sub-batch."""
+    groups = []
+    for i in range(5):   # odd count -> one padded inactive window per pair
+        base = generate_random_genome(int(rng.integers(8, 45)), rng)
+        n = int(rng.integers(1, 6))
+        groups.append([base] + [
+            mutate_sequence(base, int(rng.integers(1, 6)), rng)[:48]
+            for _ in range(n - 1)])
+    _assert_equal(BS, groups, WPG=2)
 
 
 def test_degenerate_and_weights():
