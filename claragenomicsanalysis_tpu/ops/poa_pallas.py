@@ -400,24 +400,38 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 # probe pred slots unconditionally: the extracts of all
                 # slots pipeline on the vector unit, which beats wrapping
                 # them in scalar branches (measured)
-                any_diag = jnp.bool_(False)
-                any_vert = jnp.bool_(False)
-                sel_d = jnp.int32(0)
-                sel_v = jnp.int32(0)
-                for p in range(P):
-                    pi = pred_s[p, uc]
-                    slot_ok = (p < npred_u) | ((p == 0) & (npred_u == 0))
-                    pr = jnp.where((p == 0) & (npred_u == 0), 0,
-                                   nf[F_RANK, jnp.clip(pi, 0, N - 1)] + 1)
-                    prow = smat_row(jnp.clip(pr, 0, N))
-                    pv_jm1 = _lx(prow, jnp.clip(j - 1, 0, L1 - 1))
-                    pv_j = _lx(prow, j)
-                    d_ok = slot_ok & (j > 0) & (pv_jm1 + sub == here)
-                    v_ok = slot_ok & (pv_j + GAP == here)
-                    sel_d = jnp.where(d_ok & ~any_diag, pr - 1, sel_d)
-                    sel_v = jnp.where(v_ok & ~any_vert, pr - 1, sel_v)
-                    any_diag = any_diag | d_ok
-                    any_vert = any_vert | v_ok
+                # tiered probes: first slots unrolled (their lane-extracts
+                # pipeline on the vector unit), tail slots of deep-P
+                # configs behind a rarely-taken branch
+                def probe_slots(lo, hi, carry):
+                    any_diag, any_vert, sel_d, sel_v = carry
+                    for p in range(lo, hi):
+                        pi = pred_s[p, uc]
+                        slot_ok = ((p < npred_u)
+                                   | ((p == 0) & (npred_u == 0)))
+                        pr = jnp.where((p == 0) & (npred_u == 0), 0,
+                                       nf[F_RANK, jnp.clip(pi, 0, N - 1)]
+                                       + 1)
+                        prow = smat_row(jnp.clip(pr, 0, N))
+                        pv_jm1 = _lx(prow, jnp.clip(j - 1, 0, L1 - 1))
+                        pv_j = _lx(prow, j)
+                        d_ok = slot_ok & (j > 0) & (pv_jm1 + sub == here)
+                        v_ok = slot_ok & (pv_j + GAP == here)
+                        sel_d = jnp.where(d_ok & ~any_diag, pr - 1, sel_d)
+                        sel_v = jnp.where(v_ok & ~any_vert, pr - 1, sel_v)
+                        any_diag = any_diag | d_ok
+                        any_vert = any_vert | v_ok
+                    return any_diag, any_vert, sel_d, sel_v
+
+                T0 = min(P, 4)
+                carry = probe_slots(0, T0, (jnp.bool_(False),
+                                            jnp.bool_(False),
+                                            jnp.int32(0), jnp.int32(0)))
+                if P > T0:
+                    carry = jax.lax.cond(
+                        npred_u > T0, functools.partial(probe_slots, T0, P),
+                        lambda c: c, carry)
+                any_diag, any_vert, sel_d, sel_v = carry
                 any_diag = any_diag & ~at_virtual
                 any_vert = any_vert & ~at_virtual
 
@@ -447,121 +461,56 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
             def body(j, c):
                 node = pn_s[0, j]
                 pos = pp_s[0, j]
+                pc = jnp.clip(pos, 0, L - 1)
+                b = seq_s[s, pc]
+                node_c = jnp.clip(node, 0, N - 1)
+                base_n = nf[F_BASE, node_c]
+                # the single fused fast-path predicate: a consumed column
+                # whose base matches the aligned node (the overwhelmingly
+                # common step) takes ONE branch into finish()
+                fast = (pos >= 0) & (base_n == b) & (b >= 0) & (node >= 0)
 
-                def step(c):
-                    node_count, status, prev, prev_pos = c
-                    pc = jnp.clip(pos, 0, L - 1)
-                    b = seq_s[s, pc]
+                def finish(target, target_c, status, prev, prev_pos):
+                    """Coverage/MSA update + the prev->target edge.  Shared
+                    tail of the fast and slow paths; returns status."""
                     w = w_s[s, pc]
-                    node_c = jnp.clip(node, 0, N - 1)
-                    base_n = nf[F_BASE, node_c]
-                    same = (base_n == b) & (b >= 0) & (node >= 0)
-
-                    def fast(nc_st):
-                        return nc_st[0], nc_st[1], node
-
-                    def slow(nc_st):
-                        node_count, status = nc_st
-                        nalig_n = nf[F_NALIG, node_c]
-
-                        def scan_cands(_):
-                            any_c = jnp.bool_(False)
-                            sel = jnp.int32(-1)
-                            for a in range(A):
-                                ca = alig_s[a, node_c]
-                                okc = (a < nalig_n) & (b >= 0)
-                                mb = jnp.where(
-                                    okc & (ca >= 0),
-                                    nf[F_BASE, jnp.clip(ca, 0, N - 1)], -2)
-                                hit = okc & (mb == b)
-                                sel = jnp.where(hit & ~any_c, ca, sel)
-                                any_c = any_c | hit
-                            return any_c, sel
-
-                        any_cand, cand_sel = jax.lax.cond(
-                            node < 0,
-                            lambda _: (jnp.bool_(False), jnp.int32(-1)),
-                            scan_cands, ())
-
-                        need_new = ~((node >= 0) & any_cand)
-                        new_id = jnp.clip(node_count, 0, N - 1)
-                        overflow_node = need_new & (node_count >= MAXN)
-                        link = need_new & (node >= 0)
-                        group_sz = nalig_n + 1
-                        overflow_clique = link & (group_sz > A)
-                        target = jnp.where(
-                            (node >= 0) & any_cand, cand_sel, new_id)
-
-                        @pl.when(need_new)
-                        def _():
-                            nf[F_BASE, new_id] = b
-
-                        @pl.when(link)
-                        def _():
-                            # new node's aligned list = sorted(node_c +
-                            # cands); append new_id to each member's list
-                            cands = [alig_s[a, node_c] for a in range(A)]
-                            memv = [jnp.where(a < nalig_n, cands[a],
-                                              jnp.int32(2**30))
-                                    for a in range(A)]
-                            carry = node_c
-                            for a in range(A):
-                                lo = jnp.minimum(carry, memv[a])
-                                carry = jnp.maximum(carry, memv[a])
-                                alig_s[a, new_id] = jnp.where(
-                                    lo >= 2**30, -1, lo)
-                            nf[F_NALIG, new_id] = jnp.minimum(group_sz, A)
-                            members = [node_c] + cands
-                            m_ok = [jnp.bool_(True)] + [a < nalig_n
-                                                        for a in range(A)]
-                            for mi in range(A + 1):
-                                mc = jnp.clip(members[mi], 0, N - 1)
-                                mn = nf[F_NALIG, mc]
-                                do = (m_ok[mi] & (members[mi] >= 0)
-                                      & (mn < A))
-                                for a in range(A):
-                                    alig_s[a, mc] = jnp.where(
-                                        do & (mn == a), new_id,
-                                        alig_s[a, mc])
-                                nf[F_NALIG, mc] = jnp.where(
-                                    do, mn + 1, nf[F_NALIG, mc])
-
-                        node_count = jnp.where(need_new & ~overflow_node,
-                                               node_count + 1, node_count)
-                        status = jnp.where(
-                            (status == StatusType.SUCCESS)
-                            & (overflow_node | overflow_clique),
-                            jnp.int32(StatusType.
-                                      NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
-                            status)
-                        return node_count, status, target
-
-                    node_count, status, target = jax.lax.cond(
-                        same, fast, slow, (node_count, status))
-                    target_c = jnp.clip(target, 0, N - 1)
                     nf[F_COV, target_c] = nf[F_COV, target_c] + w
                     if msa:
                         paths_s[s, pc] = target
 
-                    # edge prev -> target
                     def do_edge(status):
                         ppc = jnp.clip(prev_pos, 0, L - 1)
                         wp = jnp.where(prev_pos >= 0, w_s[s, ppc], 0)
                         ew = jnp.minimum(wp, w)
                         prev_c = jnp.clip(prev, 0, N - 1)
                         npred_t = nf[F_NPRED, target_c]
-                        found = jnp.bool_(False)
-                        slot = jnp.int32(0)
-                        for p in range(P):
-                            hit = ((npred_t > p)
-                                   & (pred_s[p, target_c] == prev_c))
-                            slot = jnp.where(hit & ~found, p, slot)
-                            found = found | hit
 
-                        def add_w(st):
-                            predw_s[slot, target_c] = (
-                                predw_s[slot, target_c] + ew)
-                            return st
+                        # tiered scan: first 4 slots unrolled (typical
+                        # nodes have 1-2 preds; unrolled independent SMEM
+                        # ops pipeline well), deep-P tails behind a branch
+                        def scan_slots(lo, hi, c):
+                            found, slot = c
+                            for p in range(lo, hi):
+                                hit = ((npred_t > p)
+                                       & (pred_s[p, target_c] == prev_c))
+                                slot = jnp.where(hit & ~found, p, slot)
+                                found = found | hit
+                            return found, slot
+
+                        T0 = min(P, 4)
+                        found, slot = scan_slots(
+                            0, T0, (jnp.bool_(False), jnp.int32(0)))
+                        if P > T0:
+                            found, slot = jax.lax.cond(
+                                npred_t > T0,
+                                functools.partial(scan_slots, T0, P),
+                                lambda c: c, (found, slot))
+
+                        # existing-edge weight bump as a MASKED RMW (adds 0
+                        # at slot 0 when not found) — cheaper than a branch
+                        predw_s[slot, target_c] = (
+                            predw_s[slot, target_c]
+                            + jnp.where(found, ew, 0))
 
                         def insert(st):
                             def do_ins(st):
@@ -603,14 +552,101 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                             return jax.lax.cond(npred_t >= P, edge_overflow,
                                                 do_ins, st)
 
-                        return jax.lax.cond(found, add_w, insert, status)
+                        return jax.lax.cond(found, lambda st: st, insert,
+                                            status)
 
-                    status = jax.lax.cond(prev >= 0, do_edge,
-                                          lambda st: st, status)
+                    return jax.lax.cond(prev >= 0, do_edge,
+                                        lambda st: st, status)
+
+                def fast_step(c):
+                    node_count, status, prev, prev_pos = c
+                    status = finish(node, node_c, status, prev, prev_pos)
+                    return node_count, status, node, pos
+
+                def other(c):
+                    # non-fast: deletion/inert no-ops, or the slow path
+                    # (mismatch / insertion / new node)
+                    return jax.lax.cond(pos >= 0, slow_step, lambda c: c, c)
+
+                def slow_step(c):
+                    node_count, status, prev, prev_pos = c
+                    nalig_n = nf[F_NALIG, node_c]
+
+                    def scan_cands(_):
+                        any_c = jnp.bool_(False)
+                        sel = jnp.int32(-1)
+                        for a in range(A):
+                            ca = alig_s[a, node_c]
+                            okc = (a < nalig_n) & (b >= 0)
+                            mb = jnp.where(
+                                okc & (ca >= 0),
+                                nf[F_BASE, jnp.clip(ca, 0, N - 1)], -2)
+                            hit = okc & (mb == b)
+                            sel = jnp.where(hit & ~any_c, ca, sel)
+                            any_c = any_c | hit
+                        return any_c, sel
+
+                    any_cand, cand_sel = jax.lax.cond(
+                        node < 0,
+                        lambda _: (jnp.bool_(False), jnp.int32(-1)),
+                        scan_cands, ())
+
+                    need_new = ~((node >= 0) & any_cand)
+                    new_id = jnp.clip(node_count, 0, N - 1)
+                    overflow_node = need_new & (node_count >= MAXN)
+                    link = need_new & (node >= 0)
+                    group_sz = nalig_n + 1
+                    overflow_clique = link & (group_sz > A)
+                    target = jnp.where(
+                        (node >= 0) & any_cand, cand_sel, new_id)
+
+                    @pl.when(need_new)
+                    def _():
+                        nf[F_BASE, new_id] = b
+
+                    @pl.when(link)
+                    def _():
+                        # new node's aligned list = sorted(node_c +
+                        # cands); append new_id to each member's list
+                        cands = [alig_s[a, node_c] for a in range(A)]
+                        memv = [jnp.where(a < nalig_n, cands[a],
+                                          jnp.int32(2**30))
+                                for a in range(A)]
+                        carry = node_c
+                        for a in range(A):
+                            lo = jnp.minimum(carry, memv[a])
+                            carry = jnp.maximum(carry, memv[a])
+                            alig_s[a, new_id] = jnp.where(
+                                lo >= 2**30, -1, lo)
+                        nf[F_NALIG, new_id] = jnp.minimum(group_sz, A)
+                        members = [node_c] + cands
+                        m_ok = [jnp.bool_(True)] + [a < nalig_n
+                                                    for a in range(A)]
+                        for mi in range(A + 1):
+                            mc = jnp.clip(members[mi], 0, N - 1)
+                            mn = nf[F_NALIG, mc]
+                            do = (m_ok[mi] & (members[mi] >= 0)
+                                  & (mn < A))
+                            for a in range(A):
+                                alig_s[a, mc] = jnp.where(
+                                    do & (mn == a), new_id,
+                                    alig_s[a, mc])
+                            nf[F_NALIG, mc] = jnp.where(
+                                do, mn + 1, nf[F_NALIG, mc])
+
+                    node_count = jnp.where(need_new & ~overflow_node,
+                                           node_count + 1, node_count)
+                    status = jnp.where(
+                        (status == StatusType.SUCCESS)
+                        & (overflow_node | overflow_clique),
+                        jnp.int32(StatusType.
+                                  NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE),
+                        status)
+                    status = finish(target, jnp.clip(target, 0, N - 1),
+                                    status, prev, prev_pos)
                     return node_count, status, target, pos
 
-                # deletion steps (pos == -1) and inert padding mutate nothing
-                return jax.lax.cond(pos >= 0, step, lambda c: c, c)
+                return jax.lax.cond(fast, fast_step, other, c)
 
             node_count, status, _, _ = jax.lax.fori_loop(
                 k0, TL, body,
