@@ -25,48 +25,58 @@ from ..ops import poa_ops
 from ..utils.genomeutils import BASES, encode
 
 
+def _graph_scan(bs: BatchSize, sc: PoaScores, banded: bool,
+                seqs, weights, lens, n_seqs):
+    """The per-window sequence loop (topsort -> graph-NW -> traceback ->
+    extension per added sequence).  Returns (state, level)."""
+    N = bs.padded_nodes
+    S = bs.max_sequences_per_poa
+    TL = N + bs.padded_seq
+    state = poa_ops.init_state(bs, seqs[0], weights[0], lens[0])
+    level0 = jnp.where(jnp.arange(N) < lens[0],
+                       jnp.arange(N, dtype=jnp.int32), 0)
+
+    def add_seq(carry, x):
+        state, level = carry
+        seq, w, slen, s_idx = x
+        active = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
+        new_level, order, rank, ok = poa_ops.topsort(state, level, N + 2)
+        Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc,
+                                band_width=bs.band_width if banded else 0)
+        pn, pp, k0, band_ok = poa_ops.nw_traceback(state, order, rank,
+                                                   Smat, seq, slen, sc, TL)
+        new_state = poa_ops.add_alignment(state, pn, pp, seq, w,
+                                          s_idx, bs, path_start=k0)
+        new_state = new_state._replace(status=jnp.where(
+            ok, new_state.status,
+            jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND)))
+        # band failure: keep the last consistent graph (oracle rule 8),
+        # only the sticky status advances
+        new_state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(band_ok, a, b),
+            new_state, state._replace(status=jnp.int32(
+                StatusType.EXCEEDED_BAND_WIDTH)))
+        state = jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new_state, state)
+        level = jnp.where(active, new_level, level)
+        return (state, level), ()
+
+    xs = (seqs[1:], weights[1:], lens[1:],
+          jnp.arange(1, S, dtype=jnp.int32))
+    (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
+    return state, level
+
+
 @functools.lru_cache(maxsize=16)
 def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
                    banded: bool = False):
-    N, P, A = bs.padded_nodes, bs.max_pred_per_node, bs.max_aligned_per_node
-    S, L = bs.max_sequences_per_poa, bs.padded_seq
-    TL = N + L
+    N = bs.padded_nodes
+    S = bs.max_sequences_per_poa
     MC = bs.max_consensus_size
 
     def run_window(seqs, weights, lens, n_seqs):
-        state = poa_ops.init_state(bs, seqs[0], weights[0], lens[0])
-        level0 = jnp.where(jnp.arange(N) < lens[0],
-                           jnp.arange(N, dtype=jnp.int32), 0)
-
-        def add_seq(carry, x):
-            state, level = carry
-            seq, w, slen, s_idx = x
-            active = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
-            new_level, order, rank, ok = poa_ops.topsort(state, level, N + 2)
-            Smat = poa_ops.graph_nw(state, order, rank, seq, slen, sc,
-                                    band_width=bs.band_width if banded else 0)
-            pn, pp, k0, band_ok = poa_ops.nw_traceback(state, order, rank,
-                                                       Smat, seq, slen, sc, TL)
-            new_state = poa_ops.add_alignment(state, pn, pp, seq, w,
-                                              s_idx, bs, path_start=k0)
-            new_state = new_state._replace(status=jnp.where(
-                ok, new_state.status,
-                jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND)))
-            # band failure: keep the last consistent graph (oracle rule 8),
-            # only the sticky status advances
-            new_state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(band_ok, a, b),
-                new_state, state._replace(status=jnp.int32(
-                    StatusType.EXCEEDED_BAND_WIDTH)))
-            state = jax.tree_util.tree_map(
-                lambda a, b: jnp.where(active, a, b), new_state, state)
-            level = jnp.where(active, new_level, level)
-            return (state, level), ()
-
-        xs = (seqs[1:], weights[1:], lens[1:],
-              jnp.arange(1, S, dtype=jnp.int32))
-        (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
-
+        state, level = _graph_scan(bs, sc, banded, seqs, weights, lens,
+                                   n_seqs)
         _, order, rank, _ = poa_ops.topsort(state, level, N + 2)
         codes, covs, length = poa_ops.consensus(state, order, rank, MC)
         if msa:
@@ -76,6 +86,19 @@ def _build_program(bs: BatchSize, sc: PoaScores, msa: bool,
             rows = jnp.zeros((S, 1), jnp.int32)
             n_cols = jnp.int32(0)
         return codes, covs, length, rows, n_cols, state.status
+
+    return jax.jit(jax.vmap(run_window))
+
+
+@functools.lru_cache(maxsize=4)
+def _build_graph_program(bs: BatchSize, sc: PoaScores, banded: bool = False):
+    """Exports the final DEVICE graph arrays (base/coverage/pred lists) —
+    the debug surface behind Batch.get_graphs."""
+
+    def run_window(seqs, weights, lens, n_seqs):
+        state, _ = _graph_scan(bs, sc, banded, seqs, weights, lens, n_seqs)
+        return (state.base, state.cov, state.npred, state.pred,
+                state.predw, state.node_count, state.status)
 
     return jax.jit(jax.vmap(run_window))
 
@@ -139,7 +162,7 @@ class Batch:
         with trace_range("poa.generate"):
             self._generate(bs, S, L, W)
 
-    def _generate(self, bs, S, L, W) -> None:
+    def _pack_arrays(self, bs, S, L, W):
         Wp = max(8, 1 << (W - 1).bit_length())
         seqs = np.full((Wp, S, L), -1, dtype=np.int32)
         weights = np.zeros((Wp, S, L), dtype=np.int32)
@@ -154,6 +177,10 @@ class Batch:
                 seqs[wi, si, : len(s)] = encode(s)
                 weights[wi, si, : len(s)] = wt
                 lens[wi, si] = len(s)
+        return seqs, weights, lens, n_seqs
+
+    def _generate(self, bs, S, L, W) -> None:
+        seqs, weights, lens, n_seqs = self._pack_arrays(bs, S, L, W)
         msa = bool(self.output_mask & OutputType.MSA)
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             # window dim sharded over the mesh 'data' axis; merging is
@@ -239,27 +266,40 @@ class Batch:
         return out_m, out_st
 
     def get_graphs(self):
-        """Re-run the CPU oracle to expose DirectedGraph views (debug path,
-        matches device results by the oracle-equality contract)."""
-        from ..cpu.poa_oracle import PoaGraph, _Overflow
+        """DirectedGraph views of the DEVICE-computed POA graphs
+        (reference: Batch::get_graphs [U]).
+
+        The export runs the XLA graph program and reads back the final
+        node/edge arrays — so the debug surface shows what the device
+        actually built, not an oracle re-derivation (they are equal for
+        successful windows by the oracle-equality contract, which tests
+        assert via DOT comparison).  Failed windows export None."""
+        from ..utils.graph import DirectedGraph
+        bs = self.batch_size
+        S, L = bs.max_sequences_per_poa, bs.padded_seq
+        W = len(self._groups)
+        if W == 0:
+            return []
+        arrays = self._pack_arrays(bs, S, L, W)
+        prog = _build_graph_program(bs, self.scores, self.banded_alignment)
+        base, cov, npred, pred, predw, ncount, dstat = (
+            np.asarray(x) for x in prog(*map(jnp.asarray, arrays)))
         graphs = []
-        for (seqs, weights), hstat in zip(self._groups, self._host_status):
-            if hstat != StatusType.SUCCESS:
+        for wi in range(W):
+            st = self._host_status[wi]
+            if st == StatusType.SUCCESS:
+                st = StatusType(int(dstat[wi]))
+            if st != StatusType.SUCCESS:
                 graphs.append(None)
                 continue
-            g = PoaGraph(batch_size=self.batch_size, scores=self.scores,
-                         banded=self.banded_alignment)
-            try:
-                for i, s in enumerate(seqs):
-                    codes = list(encode(s))
-                    if i == 0:
-                        g.add_first_sequence(codes, weights[i])
-                    else:
-                        path = g.align_sequence(codes)
-                        g.add_alignment(path, codes, weights[i])
-                graphs.append(g.to_directed_graph())
-            except _Overflow:
-                graphs.append(None)
+            g = DirectedGraph()
+            for u in range(int(ncount[wi])):
+                g.set_node_label(
+                    u, f"{BASES[base[wi, u]]}:{int(cov[wi, u])}")
+                for p in range(int(npred[wi, u])):
+                    g.add_edge(int(pred[wi, u, p]), u,
+                               int(predw[wi, u, p]))
+            graphs.append(g)
         return graphs
 
     def reset(self) -> None:

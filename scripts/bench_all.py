@@ -166,11 +166,44 @@ def bench_pipeline():
                       f"failed, {dt:.1f} s warm"}
 
 
+def bench_correct():
+    """End-to-end read correction (BASELINE config #5): bases corrected/s
+    and the achieved error reduction on simulated noisy reads."""
+    import time
+    from claragenomicsanalysis_tpu.core.config import (CorrectConfig,
+                                                       MapperConfig)
+    from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+    from claragenomicsanalysis_tpu.models.correct import correct_reads
+    from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                      PoissonGenomeSimulator)
+
+    genome = PoissonGenomeSimulator(seed=13).build_reference(40_000)
+    sim = NoisyReadSimulator(seed=13, error_rate=0.05)
+    reads = sim.generate_reads(genome, 200, 2000)  # ~10x coverage
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(r.name, r.seq) for r in reads])
+    cfg = CorrectConfig(mapper=MapperConfig(kmer_size=15, window_size=5,
+                                            min_overlap_len=100,
+                                            min_overlap_fraction=0.3,
+                                            min_bases_per_residue=500))
+    correct_reads(parser, cfg)  # warm (compiles)
+    t0 = time.perf_counter()
+    res = correct_reads(parser, cfg)
+    dt = time.perf_counter() - t0
+    bases = sum(len(r.seq) for r in reads)
+    return {"metric": "read-correction bases/s (1 chip, 200x2kb @5% err)",
+            "value": round(bases / dt, 1), "unit": "bases/s",
+            "vs_baseline": None,
+            "detail": f"{res.n_polished}/{res.n_windows} windows polished, "
+                      f"{dt:.1f} s warm"}
+
+
 def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_pipeline):
+    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_pipeline,
+               bench_correct):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # noqa: BLE001

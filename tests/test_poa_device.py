@@ -115,3 +115,33 @@ def test_reset_and_graphs():
     assert "digraph" in g.serialize_to_dot()
     batch.reset()
     assert batch.get_total_poas() == 0
+
+
+def test_get_graphs_matches_oracle(rng):
+    """The device graph export (XLA program arrays) serializes to the SAME
+    DOT as the CPU oracle's graph for successful windows — the debug
+    surface now shows the device's graph, verified against the spec."""
+    from claragenomicsanalysis_tpu.cpu.poa_oracle import PoaGraph
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        encode as enc, generate_random_genome, mutate_sequence)
+    groups = []
+    for _ in range(4):
+        base = generate_random_genome(int(rng.integers(10, 30)), rng)
+        n = int(rng.integers(2, 5))
+        groups.append([base] + [mutate_sequence(base, 2, rng)[:32]
+                                for _ in range(n - 1)])
+    batch = create_batch(batch_size=BS)
+    for g in groups:
+        batch.add_poa_group(g)
+    device_graphs = batch.get_graphs()
+    for grp, dg in zip(groups, device_graphs):
+        og = PoaGraph(batch_size=BS, scores=batch.scores)
+        for i, s in enumerate(grp):
+            codes = list(enc(s))
+            if i == 0:
+                og.add_first_sequence(codes, [1] * len(s))
+            else:
+                og.add_alignment(og.align_sequence(codes), codes,
+                                 [1] * len(s))
+        assert dg.serialize_to_dot() == og.to_directed_graph() \
+            .serialize_to_dot()
