@@ -125,10 +125,12 @@ def cmd_map(args) -> int:
         tparser = create_fasta_parser(args.target)
         res = map_query_vs_target(
             parser, tparser, _mapper_cfg(args), mesh=mesh_rep,
-            target_index_size_mb=args.target_index_size or None)
+            target_index_size_mb=args.target_index_size or None,
+            index_store_dir=args.index_store or None)
     else:
         tparser = parser
-        res = map_all_vs_all(parser, _mapper_cfg(args), mesh=mesh_rep)
+        res = map_all_vs_all(parser, _mapper_cfg(args), mesh=mesh_rep,
+                             index_store_dir=args.index_store or None)
     overlaps = res.overlaps
     if args.fuse_overlaps:
         overlaps = Overlapper.fuse_overlaps(overlaps,
@@ -259,6 +261,9 @@ def main(argv=None) -> int:
     m.add_argument("target", nargs="?", default="",
                    help="optional target FASTA (query-vs-target mode)")
     _add_mapper_flags(m)
+    m.add_argument("-c", "--index-store", default="",
+                   help="directory for persisted minimizer indices "
+                        "(cross-run cache / resume point)")
     m.add_argument("-t", "--target-index-size", type=int, default=0,
                    help="target index batch budget, MB of bases "
                         "(default: same as -i)")

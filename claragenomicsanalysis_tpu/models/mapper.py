@@ -126,14 +126,21 @@ class Index:
 class IndexCache:
     """Host-side index cache (reference: src/index_cache.cpp,
     index_host_copy.cu [U]) — avoids re-sketching a read range reused across
-    (query batch x target batch) pairs."""
+    (query batch x target batch) pairs.
 
-    def __init__(self, max_entries: int = 64):
+    `store_dir` adds the on-disk layer (parallel/index_store.py, the
+    IndexHostCopy-persisted-to-disk analog): misses first try the
+    content-keyed .npz store, and freshly built indices are saved to it —
+    a compute cache across runs AND a resume point."""
+
+    def __init__(self, max_entries: int = 64, store_dir: str | None = None):
         self._cache: dict[tuple, Index] = {}
         self._order: list[tuple] = []
         self._max = max_entries
+        self.store_dir = store_dir
         self.hits = 0
         self.misses = 0
+        self.disk_hits = 0
 
     def get_or_create(self, parser, first: int, past_last: int,
                       cfg: MapperConfig) -> Index:
@@ -143,7 +150,24 @@ class IndexCache:
             self.hits += 1
             return self._cache[key]
         self.misses += 1
-        idx = Index.create_index(parser, first, past_last, cfg)
+        idx = None
+        if self.store_dir:
+            from ..parallel.index_store import index_key, load_index
+            skey = index_key(parser, first, past_last, cfg)
+            idx = load_index(self.store_dir, skey)
+            if idx is not None:
+                self.disk_hits += 1
+                # loaded arrays are host numpy; move them on-device once so
+                # every (q, t) pair reuse doesn't re-upload
+                idx._arrays = {
+                    k: (v if k == "n_elems" else jnp.asarray(v))
+                    for k, v in idx._arrays.items()}
+        if idx is None:
+            idx = Index.create_index(parser, first, past_last, cfg)
+            if self.store_dir:
+                from ..parallel.index_store import index_key, save_index
+                save_index(idx, self.store_dir,
+                           index_key(parser, first, past_last, cfg))
         if len(self._order) >= self._max:
             old = self._order.pop(0)
             self._cache.pop(old, None)
@@ -364,7 +388,8 @@ class MapResult:
 
 
 def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
-                   max_anchors: int = 1 << 24, mesh=None) -> MapResult:
+                   max_anchors: int = 1 << 24, mesh=None,
+                   index_store_dir: str | None = None) -> MapResult:
     """The cudamapper CLI main loop (reference: cudamapper/src/main.cpp [U]):
     chunk reads by the index-size budget, loop (query batch x target batch)
     pairs through Index -> Matcher -> Overlapper, merge deterministically.
@@ -374,7 +399,7 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     output is bit-identical for any mesh size by the canonical merge order."""
     from ..utils.threadsafe import prefetch_map
     chunks = parser.get_chunks(cfg.index_size_mb * 1_000_000)
-    cache = IndexCache()
+    cache = IndexCache(store_dir=index_store_dir)
     all_overlaps: list[Overlap] = []
     statuses: list[StatusType] = []
 
@@ -404,7 +429,8 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
 def map_query_vs_target(query_parser: FastaParser,
                         target_parser: FastaParser, cfg: MapperConfig,
                         max_anchors: int = 1 << 24, mesh=None,
-                        target_index_size_mb: int | None = None) -> MapResult:
+                        target_index_size_mb: int | None = None,
+                        index_store_dir: str | None = None) -> MapResult:
     """Two-file mapping: every query read against every target read
     (reference: the cudamapper CLI's query-vs-target mode with separate
     -i/-t index budgets [U]).  `target_index_size_mb` is the -t analog
@@ -416,7 +442,7 @@ def map_query_vs_target(query_parser: FastaParser,
             else cfg.index_size_mb)
     tchunks = target_parser.get_chunks(t_mb * 1_000_000)
     cfg = replace(cfg, skip_self_mappings=False)
-    cache = IndexCache()
+    cache = IndexCache(store_dir=index_store_dir)
     statuses: list[StatusType] = []
     all_rows = []
     for (qf, ql) in qchunks:

@@ -146,3 +146,22 @@ def test_cli_evaluate_and_two_file_map(sim, tmp_path, capsys):
     assert rc == 0
     metrics = json.loads(capsys.readouterr().out)
     assert metrics["reported_pairs"] == 0
+
+
+def test_index_store_cache_roundtrip(sim, tmp_path):
+    """map with index_store_dir persists indices; a fresh run loads them
+    from disk (disk_hits > 0 via IndexCache) and yields identical output."""
+    from claragenomicsanalysis_tpu.models.mapper import IndexCache
+    _, _, parser, cfg = sim
+    store = str(tmp_path / "idx")
+    res1 = map_all_vs_all(parser, cfg, index_store_dir=store)
+    import os
+    assert any(f.startswith("index_") for f in os.listdir(store))
+    res2 = map_all_vs_all(parser, cfg, index_store_dir=store)
+    assert res2.overlaps == res1.overlaps
+    # a fresh cache really reads from disk
+    cache = IndexCache(store_dir=store)
+    chunks = parser.get_chunks(cfg.index_size_mb * 1_000_000)
+    idx = cache.get_or_create(parser, chunks[0][0], chunks[0][1], cfg)
+    assert cache.disk_hits == 1
+    assert idx.n_elems > 0
