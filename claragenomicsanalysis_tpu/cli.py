@@ -96,7 +96,8 @@ def cmd_poa(args) -> int:
     mask = OutputType.CONSENSUS | (OutputType.MSA if args.msa else 0)
     batch = create_batch(batch_size=bs, output_mask=mask,
                          max_poas=len(windows),
-                         banded_alignment=args.banded)
+                         banded_alignment=args.banded,
+                         mesh=_cli_mesh(args))
     for w in windows:
         batch.add_poa_group(w)
     cons, covs, stats = batch.get_consensus()
@@ -251,6 +252,8 @@ def main(argv=None) -> int:
     p.add_argument("--banded", action="store_true",
                    help="static-banded graph NW (cudapoa banded_alignment)")
     p.add_argument("--band-width", type=int, default=256)
+    p.add_argument("-d", "--devices", type=int, default=1,
+                   help="shard windows over this many devices (data axis)")
     p.set_defaults(fn=cmd_poa)
 
     m = sub.add_parser("map", help="overlap mapping, PAF to stdout: "
