@@ -252,8 +252,11 @@ class Overlapper:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap)
-            stacked, nv = map_ops.compact_overlaps(out)
-            rows = np.asarray(stacked[:, : int(nv)])  # ONE small download
+            nv = int(map_ops.count_valid(out))
+            cap_o = min(out["valid"].shape[0],
+                        max(128, 1 << (max(nv, 1) - 1).bit_length()))
+            stacked = map_ops.compact_overlaps_gather(out, cap_o)
+            rows = np.asarray(stacked[:, :nv])        # ONE small download
         return rows[:, _canonical_order(rows)]
 
     @staticmethod

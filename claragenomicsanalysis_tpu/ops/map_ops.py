@@ -144,16 +144,20 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     v = anchors["valid"]
     qid = jnp.where(v, anchors["q_read"], I32MAX)
     tid = jnp.where(v, anchors["t_read"], I32MAX)
-    d = jnp.where(v, anchors["dir"], I32MAX)
-    qp = jnp.where(v, anchors["q_pos"], I32MAX)
+    # (dir, q_pos) pack into ONE key: positions are < 2^30 (1 Gbp reads),
+    # so d * 2^30 + qp orders identically to the (d, qp) pair and the sort
+    # runs 4 keys / 5 operands instead of 5 / 7 (validity is recovered from
+    # the qid sentinel) — the sort is the mapper's device bottleneck
+    dqp = jnp.where(v, (anchors["dir"] << 30) | anchors["q_pos"], I32MAX)
     st = jnp.where(anchors["dir"] == 0, anchors["t_pos"], -anchors["t_pos"])
     st = jnp.where(v, st, I32MAX)
     tp = anchors["t_pos"]
 
-    qid, tid, d, qp, st, tp, v = jax.lax.sort(
-        (qid, tid, d, qp, st, tp, v.astype(jnp.int32)), num_keys=5,
-        is_stable=True)
-    v = v.astype(bool)
+    qid, tid, dqp, st, tp = jax.lax.sort(
+        (qid, tid, dqp, st, tp), num_keys=4, is_stable=True)
+    v = qid != I32MAX
+    d = jnp.where(v, dqp >> 30, I32MAX)
+    qp = jnp.where(v, dqp & ((1 << 30) - 1), I32MAX)
     C = qid.shape[0]
     idx = jnp.arange(C, dtype=jnp.int32)
 
@@ -194,14 +198,33 @@ OVERLAP_FIELDS = ("q_read", "t_read", "q_start", "q_end", "t_start", "t_end",
 
 
 @jax.jit
+def count_valid(out: dict):
+    return jnp.sum(out["valid"]).astype(jnp.int32)
+
+
+@jax.jit
 def compact_overlaps(out: dict):
     """Stack the chained-overlap fields with valid rows first (stable, so
     canonical order is preserved) — callers slice [:, :n_valid] and download
     ONE small array instead of cap-sized field arrays (the remote-TPU
-    transfer path is ~20 MB/s; capacity arrays are MBs, results are KBs).
-    One multi-operand sort beats argsort + 8 gathers ~8x at the 1M scale."""
+    transfer path is ~20 MB/s; capacity arrays are MBs, results are KBs)."""
     key = (~out["valid"]).astype(jnp.int32)
     ops = jax.lax.sort(
         (key,) + tuple(out[f].astype(jnp.int32) for f in OVERLAP_FIELDS),
         num_keys=1, is_stable=True)
     return jnp.stack(ops[1:]), jnp.sum(out["valid"]).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("out_cap",))
+def compact_overlaps_gather(out: dict, out_cap: int):
+    """Compaction for LARGE anchor capacities: one 2-operand index sort
+    plus 8 gathers of only the first out_cap rows, instead of dragging all
+    9 field arrays through the sort (callers pick out_cap as the pow2
+    bucket of the already-synced valid count, so results are identical to
+    compact_overlaps[:, :n_valid])."""
+    key = (~out["valid"]).astype(jnp.int32)
+    idx = jnp.arange(key.shape[0], dtype=jnp.int32)
+    _, idx_sorted = jax.lax.sort((key, idx), num_keys=1, is_stable=True)
+    sel = idx_sorted[:out_cap]
+    return jnp.stack([out[f].astype(jnp.int32)[sel]
+                      for f in OVERLAP_FIELDS])
