@@ -85,10 +85,14 @@ class Index:
                 jnp.asarray(reads), jnp.asarray(lens), k, w,
                 cfg.hash_representations)
         frac = Fraction(cfg.filtering_parameter).limit_denominator(10**6)
+        # packed side array fits when local read ids take < 2^15 and
+        # positions < 2^16 (B/L are the pow2-padded shapes)
+        with_packed = B <= (1 << 15) and L <= (1 << 16)
         with trace_range("mapper.index_sort"):
             arrays = map_ops.build_index(
                 rep, dirs, is_min, jnp.int32(first_read),
-                filter_thr_num=frac.numerator, filter_thr_den=frac.denominator)
+                filter_thr_num=frac.numerator,
+                filter_thr_den=frac.denominator, with_packed=with_packed)
         # arrays stay DEVICE-resident: downloads through the (remote-TPU)
         # transfer path run at ~20 MB/s, so the index round-trip dominated
         # the whole mapper before; only final compacted overlaps leave the

@@ -91,7 +91,8 @@ def _sharded_match(qidx, tidx, cap: int, skip_self: bool, mesh: Mesh):
         return gathered, total, overflow
 
     q_spec = {k: P() for k in qidx}
-    t_spec = {k: P() if k == "n_elems" else P(("rep",)) for k in tidx}
+    t_spec = {k: P() if k in ("n_elems", "first_read") else P(("rep",))
+              for k in tidx}
     anchors, total, overflow = shard_map(
         local_match, mesh=mesh,
         in_specs=(q_spec, t_spec),
@@ -119,7 +120,7 @@ def sharded_anchors(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
     tpad = {}
     for k, v in tidx_arrays.items():
         v = np.asarray(v)
-        if k == "n_elems":
+        if k in ("n_elems", "first_read"):
             tpad[k] = v
             continue
         fill = np.array(0xFFFFFFFF, v.dtype) if k == "rep" else np.zeros((), v.dtype)
