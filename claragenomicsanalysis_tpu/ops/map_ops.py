@@ -210,22 +210,15 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     nxt_new = jnp.concatenate([new_chain[1:], jnp.array([True])])
     is_end = nxt_new & v
 
-    def ffill(vals):
-        """vals at each row's chain start, via a segmented forward-fill
-        associative scan — replaces a (cap,)-sized gather (~580 ms at 64M
-        rows on v5e) with ~log2(cap) cheap passes."""
-        def op(a, b):
-            av, af = a
-            bv, bf = b
-            return jnp.where(bf, bv, av), af | bf
-        v_, _ = jax.lax.associative_scan(op, (vals, new_chain))
-        return v_
-
+    # chain-start values via gathers on the (monotonic) start indices.
+    # (A segmented forward-fill associative_scan was tried instead and
+    # REVERTED: jax's recursive associative_scan at the 64M scale hangs
+    # the TPU compile/run path for minutes.)
     s = jnp.clip(start_idx, 0, C - 1)
     n_res = idx - s + 1
-    q0 = ffill(qp)
+    q0 = qp[s]
     q1 = qp + k
-    t_first = ffill(tp)
+    t_first = tp[s]
     t0 = jnp.where(d == 0, t_first, tp)
     t1 = jnp.where(d == 0, tp, t_first) + k
     qspan = q1 - q0
