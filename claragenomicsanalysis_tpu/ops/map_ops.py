@@ -113,7 +113,14 @@ def match_expand(qidx: dict, tidx: dict, lo, cum, cap: int,
     trep = tidx["rep"]
     total = cum[-1]
     a = jnp.arange(cap, dtype=jnp.int32)
-    starts = cum[:-1]
+    # drop the TRAILING padding elements' scatters (every INVALID query
+    # element sits at the array tail with count 0 and start == total):
+    # millions of duplicate-index updates serialize inside the TPU scatter,
+    # and their telescoped deltas only touch output rows >= total, which
+    # the validity mask kills anyway.  Mid-array zero-count elements keep
+    # their scatters (their deltas must telescope into later segments).
+    ii = jnp.arange(cum.shape[0] - 1, dtype=jnp.int32)
+    starts = jnp.where(ii < qidx["n_elems"], cum[:-1], jnp.int32(cap))
 
     def fill(field):
         """field[src[a]] WITHOUT the (cap,)-sized gather: per-query-element
@@ -129,7 +136,7 @@ def match_expand(qidx: dict, tidx: dict, lo, cum, cap: int,
         mark = jnp.zeros(cap, jnp.int32).at[starts].add(d, mode="drop")
         return jnp.cumsum(mark)
 
-    off = a - fill(starts)
+    off = a - fill(cum[:-1])
     tsel = jnp.clip(fill(lo) + off, 0, trep.shape[0] - 1)
     valid = a < jnp.minimum(total, cap)
 

@@ -165,3 +165,59 @@ def test_index_store_cache_roundtrip(sim, tmp_path):
     idx = cache.get_or_create(parser, chunks[0][0], chunks[0][1], cfg)
     assert cache.disk_hits == 1
     assert idx.n_elems > 0
+
+
+def test_match_expand_fill_matches_gather_reference(rng):
+    """The delta-scatter fill inside match_expand must equal the plain
+    src-gather formulation on adversarial segment structures: empty
+    segments (incl. runs), trailing INVALID padding, and total == cap."""
+    import numpy as np
+    import jax.numpy as jnp
+    from claragenomicsanalysis_tpu.ops import map_ops
+
+    for trial in range(6):
+        C = 64
+        n_valid = int(rng.integers(1, C))
+        cnt = rng.integers(0, 4, C).astype(np.int64)
+        cnt[n_valid:] = 0                      # trailing padding: count 0
+        cnt[rng.integers(0, max(n_valid, 1))] = 0   # mid empty runs
+        cum = np.concatenate([[0], np.cumsum(cnt)]).astype(np.int32)
+        total = int(cum[-1])
+        cap = int(1 << max(int(total - 1).bit_length(), 3))
+        if trial == 5:
+            cap = max(total, 8)                # total == cap corner
+        lo = np.sort(rng.integers(0, 128, C)).astype(np.int32)
+        qidx = {
+            "rep": np.arange(C, dtype=np.uint32),
+            "read_id": rng.integers(0, 50, C).astype(np.int32),
+            "pos": rng.integers(0, 1000, C).astype(np.int32),
+            "dir": rng.integers(0, 2, C).astype(np.int32),
+            "n_elems": np.int32(n_valid),
+        }
+        tidx = {
+            "rep": np.arange(200, dtype=np.uint32),
+            "read_id": rng.integers(0, 50, 200).astype(np.int32),
+            "pos": rng.integers(0, 1000, 200).astype(np.int32),
+            "dir": rng.integers(0, 2, 200).astype(np.int32),
+            "n_elems": np.int32(200),
+        }
+        got = map_ops.match_expand(
+            {k: jnp.asarray(v) for k, v in qidx.items()},
+            {k: jnp.asarray(v) for k, v in tidx.items()},
+            jnp.asarray(lo), jnp.asarray(cum), cap=cap, skip_self=False)
+        # reference: plain searchsorted + gathers
+        a = np.arange(cap)
+        src = np.clip(np.searchsorted(cum, a, side="right") - 1, 0, C - 1)
+        off = a - cum[src]
+        tsel = np.clip(lo[src] + off, 0, 199)
+        valid = a < min(total, cap)
+        for name, want in [
+                ("q_read", qidx["read_id"][src]),
+                ("q_pos", qidx["pos"][src]),
+                ("t_read", tidx["read_id"][tsel]),
+                ("t_pos", tidx["pos"][tsel]),
+                ("dir", qidx["dir"][src] ^ tidx["dir"][tsel])]:
+            g = np.asarray(got[name])
+            np.testing.assert_array_equal(
+                g[valid], want[valid], err_msg=f"{name} trial {trial}")
+        np.testing.assert_array_equal(np.asarray(got["valid"]), valid)
