@@ -93,6 +93,17 @@ class Index:
                 rep, dirs, is_min, jnp.int32(first_read),
                 filter_thr_num=frac.numerator,
                 filter_thr_den=frac.denominator, with_packed=with_packed)
+        # COMPACT the element arrays: build_index sorts INVALID reps to the
+        # back, so slicing to the pow2 bucket of the true element count
+        # drops the ~(1 - 2/(w+1)) non-minimizer slots.  Downstream match
+        # sorts/scans then run on ~n_elems rows instead of B*L (a 16x cut
+        # at w=15) — this, not the kernels, dominated mapping at 100 Mbp.
+        n = int(arrays["n_elems"])
+        Cp = max(1024, 1 << (max(n, 1) - 1).bit_length())
+        if Cp < arrays["rep"].shape[0]:
+            arrays = {k: (v if np.ndim(v) == 0 or k == "n_elems"
+                          else v[:Cp])
+                      for k, v in arrays.items()}
         # arrays stay DEVICE-resident: downloads through the (remote-TPU)
         # transfer path run at ~20 MB/s, so the index round-trip dominated
         # the whole mapper before; only final compacted overlaps leave the
