@@ -267,10 +267,18 @@ class Overlapper:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap)
-            nv = int(map_ops.count_valid(out))
-            cap_o = min(out["valid"].shape[0],
-                        max(128, 1 << (max(nv, 1) - 1).bit_length()))
-            stacked = map_ops.compact_overlaps_gather(out, cap_o)
+            C = out["valid"].shape[0]
+            if C <= (1 << 21):
+                # small capacity: the fused 9-operand compaction sort is one
+                # dispatch + one sync (tunnel round trips dominate here)
+                stacked, nv_d = map_ops.compact_overlaps(out)
+                nv = int(nv_d)
+            else:
+                # large capacity: index-sort + gathers of just the valid
+                # bucket beats dragging 9 cap-sized operands through a sort
+                nv = int(map_ops.count_valid(out))
+                cap_o = min(C, max(128, 1 << (max(nv, 1) - 1).bit_length()))
+                stacked = map_ops.compact_overlaps_gather(out, cap_o)
             rows = np.asarray(stacked[:, :nv])        # ONE small download
         return rows[:, _canonical_order(rows)]
 

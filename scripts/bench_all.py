@@ -139,6 +139,33 @@ def bench_mapper():
                       f"{dt*1e3:.0f} ms warm ({warm*1e3:.0f} ms cold)"}
 
 
+def bench_mapper_20mbp():
+    """Medium-scale mapping (2000 x 10 kb = 20 Mbp, ~4x coverage): the
+    config where device work, not tunnel latency, dominates."""
+    from claragenomicsanalysis_tpu.core.config import MapperConfig
+    from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+    from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all
+    from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                      PoissonGenomeSimulator)
+
+    genome = PoissonGenomeSimulator(seed=7).build_reference(5_000_000)
+    sim = NoisyReadSimulator(seed=7, error_rate=0.05)
+    reads = sim.generate_reads(genome, 2000, 10_000)
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(r.name, r.seq) for r in reads])
+    cfg = MapperConfig(kmer_size=15, window_size=15)
+    map_all_vs_all(parser, cfg)
+    t0 = time.perf_counter()
+    res = map_all_vs_all(parser, cfg)
+    dt = time.perf_counter() - t0
+    bases = sum(len(r.seq) for r in reads)
+    return {"metric": "all-vs-all mapping Mbp/s (1 chip, 2000x10kb reads)",
+            "value": round(bases / dt / 1e6, 2), "unit": "Mbp/s",
+            "vs_baseline": None,
+            "detail": f"{len(res.overlaps)} overlaps, {dt:.1f} s warm, "
+                      f"{len(res.overlaps)/dt:.0f} overlaps/s"}
+
+
 def bench_pipeline():
     import time
     from claragenomicsanalysis_tpu.core.config import (MapperConfig,
@@ -202,8 +229,8 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_pipeline,
-               bench_correct):
+    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_mapper_20mbp,
+               bench_pipeline, bench_correct):
         try:
             print(json.dumps(fn()))
         except Exception as e:  # noqa: BLE001
