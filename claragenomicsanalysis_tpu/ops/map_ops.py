@@ -136,6 +136,18 @@ def match_expand(qidx: dict, tidx: dict, lo, cum, cap: int,
         mark = jnp.zeros(cap, jnp.int32).at[starts].add(d, mode="drop")
         return jnp.cumsum(mark)
 
+    # strategy crossover: scatter-fill costs scale with the UPDATE count
+    # (C) and gathers with cap, so small expansions keep the plain
+    # searchsorted + gathers (also fewer fixed costs per dispatch)
+    if cap < (1 << 23):
+        src = jnp.clip(
+            jnp.searchsorted(cum, a, side="right",
+                             method="sort").astype(jnp.int32) - 1,
+            0, cum.shape[0] - 2)
+
+        def fill(field):  # noqa: F811 — small-cap: plain gather
+            return field.astype(jnp.int32)[src]
+
     off = a - fill(cum[:-1])
     tsel = jnp.clip(fill(lo) + off, 0, trep.shape[0] - 1)
     valid = a < jnp.minimum(total, cap)
