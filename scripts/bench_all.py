@@ -128,15 +128,19 @@ def bench_mapper():
     t0 = time.perf_counter()
     res = map_all_vs_all(parser, cfg)
     warm = time.perf_counter() - t0      # includes compile
-    t0 = time.perf_counter()
-    res = map_all_vs_all(parser, cfg)
-    dt = time.perf_counter() - t0
+    # best of 3: at this (1.6 Mbp) scale the ~30 ms/dispatch tunnel latency
+    # noise swings single runs by 2x
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = map_all_vs_all(parser, cfg)
+        dt = min(dt, time.perf_counter() - t0)
     bases = sum(len(r.seq) for r in reads)
     return {"metric": "all-vs-all overlaps/s (1 chip, 400x4kb reads)",
             "value": round(len(res.overlaps) / dt, 1), "unit": "overlaps/s",
             "vs_baseline": None,
             "detail": f"{len(res.overlaps)} overlaps, {bases} bases, "
-                      f"{dt*1e3:.0f} ms warm ({warm*1e3:.0f} ms cold)"}
+                      f"{dt*1e3:.0f} ms best-of-3 ({warm*1e3:.0f} ms cold)"}
 
 
 def bench_mapper_20mbp():
