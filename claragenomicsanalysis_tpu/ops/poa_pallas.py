@@ -478,6 +478,9 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                     if msa:
                         paths_s[s, pc] = target
 
+                    if "edge" in skip:        # ablation only: no edge work
+                        return status
+
                     def do_edge(status):
                         ppc = jnp.clip(prev_pos, 0, L - 1)
                         wp = jnp.where(prev_pos >= 0, w_s[s, ppc], 0)
@@ -566,6 +569,8 @@ def build_poa_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 def other(c):
                     # non-fast: deletion/inert no-ops, or the slow path
                     # (mismatch / insertion / new node)
+                    if "slow" in skip:        # ablation only
+                        return c
                     return jax.lax.cond(pos >= 0, slow_step, lambda c: c, c)
 
                 def slow_step(c):

@@ -1,0 +1,844 @@
+"""POA pipeline v2: lockstep-over-windows Pallas kernels.
+
+v1 (ops/poa_pallas.py) runs the whole POA per-window inside one kernel
+with graph state in SMEM; its wall is the ONE scalar unit (add ~45 ms,
+traceback ~14 ms, topsort ~12 ms per 128-window small batch — see
+docs/POA_V2.md and scripts/ablate_poa_add.py).  v2 splits the pipeline
+into per-phase kernels orchestrated at the XLA level (state flows through
+HBM between kernels; the per-sequence loop is a lax.scan, exactly like
+models/poa._graph_scan):
+
+- graph-NW + traceback: v1's sublane-lockstep NW (windows of a sub-batch
+  on the sublane axis of one (WPG, L1) block) with the per-window scalar
+  walk, as a standalone kernel taking the graph state as SMEM inputs and
+  returning the (W, TL) alignment paths.
+- add-alignment: the v2 centerpiece — windows on the LANE axis, graph
+  state as (N, W) VMEM planes, sequential in path step j, LOCKSTEP over
+  all windows.  A per-window scalar read becomes an (N, W) masked
+  sublane-reduce (~66 VPU cycles for ALL windows vs ~123 scalar
+  cycles/window measured in v1); writes are masked lane-owned scatters
+  that cannot collide.  Three passes per sequence (fast columns /
+  compacted slow columns / edges) keep the worst-case branch work off
+  the common path; pass separation is semantics-preserving because each
+  graph node is target of at most one column per sequence (see
+  docs/POA_V2.md).
+- topsort / consensus / MSA stay the vmapped XLA programs of
+  ops/poa_ops.py (fixpoint relaxation amortizes across windows already);
+  they can be kernelized later if they dominate.
+
+Phases are bit-identical to ops/poa_ops.py (the executable spec is
+cpu/poa_oracle.py) and asserted so by tests/test_poa_pallas2.py.
+
+Reference counterpart: cudapoa/src/cudapoa_kernels.cu pipeline
+(topsort/nw/add_alignment/consensus .cuh [U]) — one CUDA block per
+window there; here the whole batch advances in lockstep so the VPU, not
+the scalar unit, does the pointer chasing.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.config import BatchSize, PoaScores
+from ..core.status import StatusType
+from ..utils.mathutils import round_up
+from . import poa_ops
+
+NEG = -(2**30)
+
+
+def _iota(n):
+    return jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+
+
+def _siota(n, w):
+    """(n, w) iota along the sublane axis."""
+    return jax.lax.broadcasted_iota(jnp.int32, (n, w), 0)
+
+
+def _lx(row, i):
+    """Scalar at lane i of a (1, C) row (vector extract)."""
+    return jnp.sum(jnp.where(_iota(row.shape[-1]) == i, row, 0))
+
+
+def _st(row, i, v):
+    """Row with lane i set to v (masked rewrite)."""
+    return jnp.where(_iota(row.shape[-1]) == i, v, row)
+
+
+# --------------------------------------------------------------------------
+# Lockstep helpers for the (N, W) plane world of the add kernel.
+# Planes put nodes on SUBLANES and windows on LANES; `row` values are
+# (1, W) int32 with one scalar per window.
+# --------------------------------------------------------------------------
+
+def _gather(plane, mask):
+    """(1, W) per-window gather plane[idx_w, w] given mask from _eqmask."""
+    return jnp.sum(jnp.where(mask, plane, 0), axis=0, keepdims=True)
+
+
+def _eqmask(n, idx_row):
+    """(n, W) mask selecting sublane idx_w on lane w (idx must be in
+    [0, n); clip before calling)."""
+    return _siota(n, idx_row.shape[-1]) == idx_row
+
+
+def _scatter(plane, mask, do_row, val_row):
+    """plane with plane[idx_w, w] = val_w where do_w (mask from _eqmask)."""
+    return jnp.where(mask & (do_row != 0), val_row, plane)
+
+
+def _scatter_add(plane, mask, do_row, val_row):
+    return plane + jnp.where(mask & (do_row != 0), val_row, 0)
+
+
+# --------------------------------------------------------------------------
+# Kernel 1: graph-NW + traceback for one added sequence, sub-batch of WPG
+# windows per grid step (windows on the sublane axis of the NW row block,
+# exactly v1's lockstep formulation; reference: cudapoa_nw.cuh [U]).
+# --------------------------------------------------------------------------
+
+def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
+                       WPG: int):
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    L = bs.padded_seq
+    L1 = round_up(L + 1, 128)
+    TL = N + L
+    TLS = round_up(TL, 128)
+    MATCH = int(sc.match_score)
+    MISM = int(sc.mismatch_score)
+    GAP = int(sc.gap_score)
+    BW = bs.band_width if banded else 0
+    SCAN_QS = max(1, (L1 - 1).bit_length())
+
+    def kernel(seqsh_ref, seq_s, meta_s, order_s, rank_s, npred_s, base_s,
+               nsucc_s, pred_s, pn_out, pp_out, meta_out, smat2):
+        jj = _iota(L1)
+
+        def sel_vec(vals):
+            si = jax.lax.broadcasted_iota(jnp.int32, (WPG, 1), 0)
+            acc = jnp.zeros((WPG, 1), jnp.int32)
+            for k, v in enumerate(vals):
+                acc = jnp.where(si == k, v, acc)
+            return acc
+
+        slens = [meta_s[wi, 0] for wi in range(WPG)]
+        ncs = [meta_s[wi, 1] for wi in range(WPG)]
+        acts = [meta_s[wi, 2] != 0 for wi in range(WPG)]
+
+        # ------------------------------------------------------ NW rows
+        seq8 = seqsh_ref[...]                       # (WPG, L1) shifted
+        slen8 = sel_vec(slens)
+        seq_ok = (jj >= 1) & (jj <= slen8)
+        max_nc = jnp.int32(0)
+        for nc, a in zip(ncs, acts):
+            max_nc = jnp.maximum(max_nc, jnp.where(a, nc, 0))
+        row0 = jnp.where(jj <= L, jj * GAP, NEG)
+        smat2[pl.ds(0, 1)] = jnp.broadcast_to(row0[:, None, :],
+                                              (1, WPG, L1))
+        if BW > 0:
+            nc8 = sel_vec(ncs)
+
+        def nw_body(r, _):
+            bases = []
+            for wi in range(WPG):
+                u = jnp.clip(order_s[wi, jnp.clip(r, 0, N - 1)], 0, N - 1)
+                npred_u = npred_s[wi, u]
+                bases.append(base_s[wi, u])
+
+                def pred_step(p, pmax, u=u, wi=wi):
+                    pi = pred_s[wi, p, u]
+                    pr = rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1
+                    prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
+                    return jnp.maximum(pmax, prow)
+
+                pmax0 = jnp.full((1, L1), NEG, jnp.int32)
+                pmax = jax.lax.fori_loop(0, npred_u, pred_step, pmax0)
+                pmax = jnp.where(npred_u == 0,
+                                 smat2[pl.ds(0, 1), wi, :], pmax)
+                smat2[pl.ds(N + 2, 1), wi, :] = pmax  # assembly row N+2
+
+            pmax8 = smat2[pl.ds(N + 2, 1)][0]        # (WPG, L1)
+            base8 = sel_vec(bases)
+            sub = jnp.where((seq8 == base8) & (seq8 >= 0), MATCH, MISM)
+            sub = jnp.where(seq_ok, sub, MISM)
+            pms = pltpu.roll(pmax8, shift=1, axis=1)   # pmax[j-1]
+            vals = jnp.maximum(pms + sub, pmax8 + GAP)
+            vals = jnp.where(jj <= slen8, vals, NEG)
+            if BW > 0:
+                c = ((r + 1) * slen8) // (nc8 + 1)
+                in_band = jnp.abs(jj - c) <= BW // 2
+                vals = jnp.where(in_band, vals, NEG)
+            acc = vals - jj * GAP
+            for q in range(SCAN_QS):
+                sh = 1 << q
+                acc = jnp.maximum(
+                    acc, jnp.where(jj >= sh,
+                                   pltpu.roll(acc, shift=sh, axis=1),
+                                   NEG))
+            row = acc + jj * GAP
+            if BW > 0:
+                row = jnp.where(in_band, row, NEG)
+            row = jnp.where(jj <= slen8, row, NEG)
+            smat2[pl.ds(r + 1, 1)] = row[None]
+            return ()
+
+        jax.lax.fori_loop(0, max_nc, nw_body, ())
+
+        # ---------------------------------------------------- traceback
+        for wi in range(WPG):
+            slen = slens[wi]
+            node_count = ncs[wi]
+
+            def smat_row(i, wi=wi):
+                return smat2[pl.ds(i, 1), wi, :]
+
+            def walk(_, wi=wi, slen=slen, node_count=node_count):
+                def find_end(r, c):
+                    u = order_s[wi, jnp.clip(r, 0, N - 1)]
+                    is_sink = nsucc_s[wi, jnp.clip(u, 0, N - 1)] == 0
+
+                    def at_sink(c):
+                        vmax, first = c
+                        v = _lx(smat_row(r + 1), slen)
+                        better = v > vmax
+                        first = jnp.where(better, r,
+                                          jnp.where((v == vmax) & (r < first),
+                                                    r, first))
+                        vmax = jnp.where(better, v, vmax)
+                        return vmax, first
+
+                    return jax.lax.cond(is_sink, at_sink, lambda c: c, c)
+
+                vmax, first = jax.lax.fori_loop(
+                    0, node_count, find_end,
+                    (jnp.int32(NEG), jnp.int32(2**30)))
+                band_ok = vmax > NEG // 2
+                r_end = jnp.where(node_count > 0, first, -1)
+
+                def cond(c):
+                    r, j, k = c
+                    return ((r >= 0) | (j > 0)) & (k > 0)
+
+                def body(c, wi=wi):
+                    r, j, k = c
+                    u = jnp.where((r >= 0) & (r < N),
+                                  order_s[wi, jnp.clip(r, 0, N - 1)], -1)
+                    uc = jnp.clip(u, 0, N - 1)
+                    here_row = smat_row(jnp.clip(r + 1, 0, N))
+                    here = _lx(here_row, j)
+                    sc_ch = seq_s[wi, jnp.clip(j - 1, 0, L - 1)]
+                    sc_ch = jnp.where((j >= 1) & (j <= L), sc_ch, -1)
+                    base_u = jnp.where(u >= 0, base_s[wi, uc], -2)
+                    sub = jnp.where((sc_ch == base_u) & (sc_ch >= 0),
+                                    MATCH, MISM)
+                    npred_u = jnp.where(u >= 0, npred_s[wi, uc], 0)
+                    at_virtual = r < 0
+
+                    def probe_slots(lo, hi, carry):
+                        any_diag, any_vert, sel_d, sel_v = carry
+                        for p in range(lo, hi):
+                            pi = pred_s[wi, p, uc]
+                            slot_ok = ((p < npred_u)
+                                       | ((p == 0) & (npred_u == 0)))
+                            pr = jnp.where(
+                                (p == 0) & (npred_u == 0), 0,
+                                rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1)
+                            prow = smat_row(jnp.clip(pr, 0, N))
+                            pv_jm1 = _lx(prow, jnp.clip(j - 1, 0, L1 - 1))
+                            pv_j = _lx(prow, j)
+                            d_ok = slot_ok & (j > 0) & (pv_jm1 + sub == here)
+                            v_ok = slot_ok & (pv_j + GAP == here)
+                            sel_d = jnp.where(d_ok & ~any_diag, pr - 1, sel_d)
+                            sel_v = jnp.where(v_ok & ~any_vert, pr - 1, sel_v)
+                            any_diag = any_diag | d_ok
+                            any_vert = any_vert | v_ok
+                        return any_diag, any_vert, sel_d, sel_v
+
+                    T0 = min(P, 4)
+                    carry = probe_slots(0, T0, (jnp.bool_(False),
+                                                jnp.bool_(False),
+                                                jnp.int32(0), jnp.int32(0)))
+                    if P > T0:
+                        carry = jax.lax.cond(
+                            npred_u > T0, functools.partial(probe_slots, T0, P),
+                            lambda c: c, carry)
+                    any_diag, any_vert, sel_d, sel_v = carry
+                    any_diag = any_diag & ~at_virtual
+                    any_vert = any_vert & ~at_virtual
+
+                    move = jnp.where(at_virtual, 3,
+                                     jnp.where(any_diag, 0,
+                                               jnp.where(any_vert, 1, 3)))
+                    new_r = jnp.where(move == 0, sel_d,
+                                      jnp.where(move == 1, sel_v, r))
+                    new_j = jnp.where((move == 0) | (move == 3), j - 1, j)
+                    k2 = k - 1
+                    pn_out[wi, k2] = jnp.where(move == 3, -1, u)
+                    pp_out[wi, k2] = jnp.where(move == 1, -1, j - 1)
+                    return new_r, new_j, k2
+
+                _, _, k = jax.lax.while_loop(
+                    cond, body, (r_end, slen, jnp.int32(TL)))
+                meta_out[wi, 0] = k
+                meta_out[wi, 1] = jnp.where(band_ok, 1, 0)
+                return ()
+
+            def inactive(_, wi=wi):
+                meta_out[wi, 0] = TL
+                meta_out[wi, 1] = 1
+                return ()
+
+            jax.lax.cond(acts[wi], walk, inactive, ())
+
+    return kernel, dict(N=N, P=P, L=L, L1=L1, TL=TL, TLS=TLS)
+
+
+def _nwtb_pallas(bs: BatchSize, sc: PoaScores, banded: bool, interpret: bool,
+                 WPG: int, seq, order, rank, npred, base, nsucc, pred,
+                 slen, node_count, alive):
+    """Run the NW+traceback kernel for one added sequence over all windows.
+
+    seq: (W, L) int32 codes; pred: (W, N, P); scalar per-window rows are
+    (W,).  Returns (pn (W, TL), pp (W, TL), k0 (W,), band_ok (W,))."""
+    W = seq.shape[0]
+    kernel, d = _build_nwtb_kernel(bs, sc, banded, WPG)
+    N, P, L, L1, TL, TLS = (d["N"], d["P"], d["L"], d["L1"], d["TL"],
+                            d["TLS"])
+    NS = round_up(N, 128)
+    L128 = round_up(L, 128)
+    P8 = round_up(P, 8)
+    Wp = round_up(W, WPG)
+
+    def padw(x):
+        return jnp.pad(x, ((0, Wp - W),) + ((0, 0),) * (x.ndim - 1))
+
+    def padlane(x, n, fill=0):
+        return jnp.pad(x, ((0, 0), (0, n - x.shape[1])),
+                       constant_values=fill)
+
+    seq = seq.astype(jnp.int32)
+    seqsh = jnp.concatenate(
+        [jnp.full((W, 1), -1, jnp.int32), seq], axis=1)
+    seqsh = jnp.pad(seqsh, ((0, 0), (0, L1 - L - 1)), constant_values=-1)
+    meta = jnp.zeros((W, 128), jnp.int32)
+    meta = meta.at[:, 0].set(slen.astype(jnp.int32))
+    meta = meta.at[:, 1].set(node_count.astype(jnp.int32))
+    meta = meta.at[:, 2].set(alive.astype(jnp.int32))
+    predT = jnp.transpose(pred.astype(jnp.int32), (0, 2, 1))   # (W, P, N)
+    predT = jnp.pad(predT, ((0, 0), (0, P8 - P), (0, NS - N)))
+
+    def vspec(*shape):
+        return pl.BlockSpec((WPG,) + shape,
+                            lambda w: (w,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(*shape):
+        return pl.BlockSpec((WPG,) + shape,
+                            lambda w: (w,) + (0,) * len(shape),
+                            memory_space=pltpu.SMEM)
+
+    pn, pp, meta_out = pl.pallas_call(
+        kernel,
+        grid=(Wp // WPG,),
+        in_specs=[vspec(L1), sspec(L128), sspec(128), sspec(NS), sspec(NS),
+                  sspec(NS), sspec(NS), sspec(NS), sspec(P8, NS)],
+        out_specs=(sspec(TLS), sspec(TLS), sspec(128)),
+        out_shape=(jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
+                   jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
+                   jax.ShapeDtypeStruct((Wp, 128), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((round_up(N + 3, 8), WPG, L1), jnp.int32)],
+        interpret=interpret,
+    )(padw(seqsh), padw(padlane(seq, L128, -1)), padw(meta),
+      padw(padlane(order.astype(jnp.int32), NS)),
+      padw(padlane(rank.astype(jnp.int32), NS)),
+      padw(padlane(npred.astype(jnp.int32), NS)),
+      padw(padlane(base.astype(jnp.int32), NS, -1)),
+      padw(padlane(nsucc.astype(jnp.int32), NS)),
+      padw(predT))
+    return (pn[:W, :TL], pp[:W, :TL], meta_out[:W, 0],
+            meta_out[:W, 1] != 0)
+
+
+# --------------------------------------------------------------------------
+# Kernel 2: add-alignment, lockstep over windows (the v2 centerpiece;
+# reference: cudapoa_add_alignment.cuh [U], semantics poa_ops.add_alignment).
+#
+# Graph state is (N, W) planes: nodes on sublanes, windows on lanes.  Three
+# passes per sequence:
+#   pass 1 (j = 0..TL): classify columns; apply the fast path (existing
+#          node, matching base: coverage bump) and compact the slow column
+#          indices per window;
+#   pass 2 (i = 0..max slow count): resolve slow columns in j order —
+#          candidate scan, node creation, clique linking;
+#   pass 3 (j = 0..TL): edges (prev -> target): existing-edge weight bump
+#          or sorted insert, successor counts, edge-overflow tracking.
+# Pass separation preserves bit-exact j-order semantics: each node is the
+# target of at most one column per sequence, `fast` depends only on
+# immutable node bases, and all slow-path mutations happen j-ordered in
+# pass 2 (docs/POA_V2.md).
+# --------------------------------------------------------------------------
+
+def _build_add_kernel(bs: BatchSize, msa: bool):
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    A = bs.max_aligned_per_node
+    L = bs.padded_seq
+    TL = N + L
+    TLS = round_up(TL, 128)
+    L128 = round_up(L, 128)
+    MAXN = bs.max_nodes_per_window
+    BIG = 2**30
+    SUCCESS = int(StatusType.SUCCESS)
+    ST_NODE = int(StatusType.NODE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE)
+    ST_EDGE = int(StatusType.EDGE_COUNT_EXCEEDED_MAXIMUM_GRAPH_SIZE)
+
+    def kernel(pnT, ppT, seqT, wT, meta, baseT, covT, npredT, nsuccT,
+               naligT, predT, predwT, aligT, meta_out, pathsT, targT, sjT):
+        W = meta.shape[1]
+        k0r = meta[pl.ds(0, 1)]
+        actr = meta[pl.ds(1, 1)] != 0
+        iN = _siota(N, W)
+        iTL = _siota(TLS, W)
+        iL = _siota(L128, W)
+
+        if msa:
+            pathsT[...] = jnp.full((L128, W), -1, jnp.int32)
+
+        # ------------------------------------------------------- pass 1
+        def pass1(j, scnt):
+            node = pnT[pl.ds(j, 1)]
+            pos = ppT[pl.ds(j, 1)]
+            live = (j >= k0r) & actr
+            inert = (node == -2) | ((node == -1) & (pos == -1)) | ~live
+            is_del = (node >= 0) & (pos == -1)
+            consume = ~inert & ~is_del
+            posc = jnp.clip(pos, 0, L - 1)
+            mask_pos = iL == posc
+            b = jnp.sum(jnp.where(mask_pos, seqT[...], 0), axis=0,
+                        keepdims=True)
+            b = jnp.where(pos >= 0, b, -1)
+            w = jnp.sum(jnp.where(mask_pos, wT[...], 0), axis=0,
+                        keepdims=True)
+            w = jnp.where(pos >= 0, w, 0)
+            nodec = jnp.clip(node, 0, N - 1)
+            mask_node = iN == nodec
+            base_n = jnp.sum(jnp.where(mask_node, baseT[...], 0), axis=0,
+                             keepdims=True)
+            base_n = jnp.where(node >= 0, base_n, -2)
+            same = (base_n == b) & (b >= 0) & (node >= 0)
+            fast = consume & same
+            covT[...] = covT[...] + jnp.where(mask_node & fast, w, 0)
+            targT[pl.ds(j, 1)] = jnp.where(fast, node, -3)
+            if msa:
+                pathsT[...] = jnp.where(mask_pos & fast, node, pathsT[...])
+            slow = consume & ~same
+            mask_sc = iTL == scnt
+            sjT[...] = jnp.where(mask_sc & slow, j, sjT[...])
+            return scnt + jnp.where(slow, 1, 0)
+
+        scnt = jax.lax.fori_loop(
+            0, TL, pass1, jnp.zeros((1, W), jnp.int32))
+
+        # ------------------------------------------------------- pass 2
+        ncr0 = meta[pl.ds(2, 1)]
+
+        def pass2(i, c):
+            ncr, fnc = c
+            ok = i < scnt
+            j_row = sjT[pl.ds(i, 1)]
+            mask_j = iTL == jnp.clip(j_row, 0, TLS - 1)
+            node = jnp.sum(jnp.where(mask_j, pnT[...], 0), axis=0,
+                           keepdims=True)
+            pos = jnp.sum(jnp.where(mask_j, ppT[...], 0), axis=0,
+                          keepdims=True)
+            posc = jnp.clip(pos, 0, L - 1)
+            mask_pos = iL == posc
+            b = jnp.sum(jnp.where(mask_pos, seqT[...], 0), axis=0,
+                        keepdims=True)
+            b = jnp.where(pos >= 0, b, -1)
+            w = jnp.sum(jnp.where(mask_pos, wT[...], 0), axis=0,
+                        keepdims=True)
+            w = jnp.where(pos >= 0, w, 0)
+            nodec = jnp.clip(node, 0, N - 1)
+            mask_node = iN == nodec
+            nalig_n = jnp.sum(jnp.where(mask_node, naligT[...], 0), axis=0,
+                              keepdims=True)
+            # candidate scan (first aligned node with a matching base)
+            any_c = jnp.zeros((1, W), jnp.bool_)
+            cand_sel = jnp.full((1, W), -1, jnp.int32)
+            cas = []
+            for a in range(A):
+                ca = jnp.sum(jnp.where(mask_node, aligT[a], 0), axis=0,
+                             keepdims=True)
+                cas.append(ca)
+                mb = jnp.sum(jnp.where(iN == jnp.clip(ca, 0, N - 1),
+                                       baseT[...], 0), axis=0, keepdims=True)
+                mb = jnp.where((ca >= 0) & (ca < N), mb, -2)
+                hit = (a < nalig_n) & (b >= 0) & (mb == b)
+                cand_sel = jnp.where(hit & ~any_c, ca, cand_sel)
+                any_c = any_c | hit
+            any_cand = any_c & (node >= 0)
+
+            need_new = ok & ~((node >= 0) & any_cand)
+            new_id = jnp.clip(ncr, 0, N - 1)
+            overflow_node = need_new & (ncr >= MAXN)
+            target = jnp.where((node >= 0) & any_cand, cand_sel, new_id)
+            targT[...] = jnp.where(mask_j & ok, target, targT[...])
+            tgtc = jnp.clip(target, 0, N - 1)
+            mask_tgt = iN == tgtc
+            baseT[...] = jnp.where(mask_tgt & need_new, b, baseT[...])
+            covT[...] = covT[...] + jnp.where(mask_tgt & ok, w, 0)
+            if msa:
+                pathsT[...] = jnp.where(mask_pos & ok, target, pathsT[...])
+
+            # clique linking
+            link = need_new & (node >= 0)
+            group_sz = nalig_n + 1
+            overflow_clique = link & (group_sz > A)
+            # new node's aligned list = ascending sort of (node_c, cands)
+            vals = [jnp.where(node >= 0, nodec, BIG)] + [
+                jnp.where((a < nalig_n) & (cas[a] >= 0), cas[a], BIG)
+                for a in range(A)]
+            for hi in range(A, 0, -1):          # odd-even sort network
+                for lo in range(hi):
+                    a, bb = vals[lo], vals[lo + 1]
+                    vals[lo] = jnp.minimum(a, bb)
+                    vals[lo + 1] = jnp.maximum(a, bb)
+            for a in range(A):
+                v = jnp.where(vals[a] >= BIG, -1, vals[a])
+                aligT[a] = jnp.where(mask_tgt & link, v, aligT[a])
+            naligT[...] = jnp.where(mask_tgt & link,
+                                    jnp.minimum(group_sz, A), naligT[...])
+            # append new_id to each member's list (member-owned slots; the
+            # nalig PLANE supplies each member's slot, so no extra gathers)
+            memb = jnp.zeros((N, W), jnp.bool_)
+            memb = memb | (mask_node & link)
+            for a in range(A):
+                m_ok = link & (a < nalig_n) & (cas[a] >= 0)
+                memb = memb | ((iN == jnp.clip(cas[a], 0, N - 1)) & m_ok)
+            cond_m = memb & (naligT[...] < A)
+            for a in range(A):
+                aligT[a] = jnp.where(cond_m & (naligT[...] == a), new_id,
+                                     aligT[a])
+            naligT[...] = jnp.where(cond_m, naligT[...] + 1, naligT[...])
+
+            ncr = ncr + jnp.where(need_new & ~overflow_node, 1, 0)
+            fnc = jnp.minimum(
+                fnc, jnp.where(overflow_node | overflow_clique, j_row, BIG))
+            return ncr, fnc
+
+        max_slow = jnp.max(scnt)
+        ncr, fnc = jax.lax.while_loop(
+            lambda c: c[0] < max_slow,
+            lambda c: (c[0] + 1,) + pass2(c[0], c[1:]),
+            (jnp.int32(0), ncr0, jnp.full((1, W), BIG, jnp.int32)))[1:]
+
+        # ------------------------------------------------------- pass 3
+        def pass3(j, c):
+            prev, wprev, fe = c
+            targ = targT[pl.ds(j, 1)]
+            consume = targ >= 0
+            pos = ppT[pl.ds(j, 1)]
+            posc = jnp.clip(pos, 0, L - 1)
+            mask_pos = iL == posc
+            w = jnp.sum(jnp.where(mask_pos, wT[...], 0), axis=0,
+                        keepdims=True)
+            w = jnp.where(pos >= 0, w, 0)
+            ew = jnp.minimum(wprev, w)
+            has_edge = (prev >= 0) & consume
+            prevc = jnp.clip(prev, 0, N - 1)
+            mask_tgt = iN == jnp.clip(targ, 0, N - 1)
+            npred_t = jnp.sum(jnp.where(mask_tgt, npredT[...], 0), axis=0,
+                              keepdims=True)
+            plist = [jnp.sum(jnp.where(mask_tgt, predT[p], 0), axis=0,
+                             keepdims=True) for p in range(P)]
+            plist = [jnp.where(p < npred_t, plist[p], -1) for p in range(P)]
+            found = jnp.zeros((1, W), jnp.bool_)
+            slot = jnp.zeros((1, W), jnp.int32)
+            for p in range(P):
+                hit = (p < npred_t) & (plist[p] == prevc)
+                slot = jnp.where(hit & ~found, p, slot)
+                found = found | hit
+            bump = has_edge & found
+            for p in range(P):
+                predwT[p] = predwT[p] + jnp.where(
+                    mask_tgt & bump & (slot == p), ew, 0)
+            ins = has_edge & ~found
+            overflow_edge = ins & (npred_t >= P)
+            do_ins = ins & ~overflow_edge
+            pos_ins = jnp.zeros((1, W), jnp.int32)
+            for p in range(P):
+                pos_ins = pos_ins + jnp.where(
+                    (p < npred_t) & (plist[p] < prevc), 1, 0)
+            wlist = [jnp.sum(jnp.where(mask_tgt, predwT[p], 0), axis=0,
+                             keepdims=True) for p in range(P)]
+            for p in range(P):
+                new_p = jnp.where(p < pos_ins, plist[p],
+                                  jnp.where(p == pos_ins, prevc,
+                                            plist[p - 1] if p >= 1
+                                            else jnp.full_like(prevc, -1)))
+                new_w = jnp.where(p < pos_ins, wlist[p],
+                                  jnp.where(p == pos_ins, ew,
+                                            wlist[p - 1] if p >= 1
+                                            else jnp.zeros_like(ew)))
+                predT[p] = jnp.where(mask_tgt & do_ins, new_p, predT[p])
+                predwT[p] = jnp.where(mask_tgt & do_ins, new_w, predwT[p])
+            npredT[...] = jnp.where(mask_tgt & do_ins, npred_t + 1,
+                                    npredT[...])
+            mask_prev = iN == prevc
+            nsuccT[...] = nsuccT[...] + jnp.where(mask_prev & do_ins, 1, 0)
+            fe = jnp.minimum(fe, jnp.where(overflow_edge, j, BIG))
+            prev = jnp.where(consume, targ, prev)
+            wprev = jnp.where(consume, w, wprev)
+            return prev, wprev, fe
+
+        _, _, fe = jax.lax.fori_loop(
+            0, TL, pass3,
+            (jnp.full((1, W), -1, jnp.int32), jnp.zeros((1, W), jnp.int32),
+             jnp.full((1, W), BIG, jnp.int32)))
+
+        # --------------------------------------------- status + meta out
+        statr = meta[pl.ds(3, 1)]
+        stat = jnp.where((statr == SUCCESS) & (fnc <= fe) & (fnc < BIG),
+                         ST_NODE, statr)
+        stat = jnp.where((stat == SUCCESS) & (fe < fnc), ST_EDGE, stat)
+        mo = jnp.zeros((8, W), jnp.int32)
+        si = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+        mo = jnp.where(si == 0, jnp.broadcast_to(ncr, (8, W)), mo)
+        mo = jnp.where(si == 1, jnp.broadcast_to(stat, (8, W)), mo)
+        meta_out[...] = mo
+
+    return kernel, dict(N=N, P=P, A=A, L=L, TL=TL, TLS=TLS, L128=L128)
+
+
+def _add_pallas(bs: BatchSize, msa: bool, interpret: bool, state, pn, pp,
+                seq, weights, k0, act):
+    """Run the add kernel over all windows; returns the updated PoaState
+    pieces (base, cov, npred, pred, predw, nsucc, nalig, alig, node_count,
+    status, path_row (W, L))."""
+    W = seq.shape[0]
+    kernel, d = _build_add_kernel(bs, msa)
+    N, P, A, L, TL, TLS, L128 = (d["N"], d["P"], d["A"], d["L"], d["TL"],
+                                 d["TLS"], d["L128"])
+    LANES = 128
+    Wp = round_up(W, LANES)
+
+    def t2(x, rows, fill=0):
+        """(W, n) -> (rows, Wp) transposed + padded plane."""
+        x = jnp.transpose(x.astype(jnp.int32))
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, Wp - W)),
+                       constant_values=fill)
+
+    baseT = t2(state.base, N, -1)
+    covT = t2(state.cov, N)
+    npredT = t2(state.npred, N)
+    nsuccT = t2(state.nsucc, N)
+    naligT = t2(state.nalig, N)
+    predT = jnp.transpose(state.pred.astype(jnp.int32), (2, 1, 0))
+    predT = jnp.pad(predT, ((0, 0), (0, N - predT.shape[1]), (0, Wp - W)),
+                    constant_values=-1)
+    predwT = jnp.transpose(state.predw.astype(jnp.int32), (2, 1, 0))
+    predwT = jnp.pad(predwT, ((0, 0), (0, N - predwT.shape[1]),
+                              (0, Wp - W)))
+    aligT = jnp.transpose(state.alig.astype(jnp.int32), (2, 1, 0))
+    aligT = jnp.pad(aligT, ((0, 0), (0, N - aligT.shape[1]), (0, Wp - W)),
+                    constant_values=-1)
+    pnT = t2(pn, TLS, -2)
+    ppT = t2(pp, TLS, -2)
+    seqT = t2(seq, L128, -1)
+    wT = t2(weights, L128)
+    meta = jnp.zeros((8, Wp), jnp.int32)
+    meta = meta.at[0, :W].set(k0.astype(jnp.int32))
+    meta = meta.at[1, :W].set(act.astype(jnp.int32))
+    meta = meta.at[2, :W].set(state.node_count.astype(jnp.int32))
+    meta = meta.at[3, :W].set(state.status.astype(jnp.int32))
+
+    def spec(*shape):
+        return pl.BlockSpec(shape + (LANES,),
+                            lambda w: (0,) * len(shape) + (w,),
+                            memory_space=pltpu.VMEM)
+
+    ins = [pnT, ppT, seqT, wT, meta, baseT, covT, npredT, nsuccT, naligT,
+           predT, predwT, aligT]
+    in_specs = [spec(TLS), spec(TLS), spec(L128), spec(L128), spec(8),
+                spec(N), spec(N), spec(N), spec(N), spec(N),
+                spec(P, N), spec(P, N), spec(A, N)]
+    out_specs = [spec(8), spec(L128), spec(N), spec(N), spec(N), spec(N),
+                 spec(N), spec(P, N), spec(P, N), spec(A, N)]
+    out_shape = [jax.ShapeDtypeStruct((8, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((L128, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((P, N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((P, N, Wp), jnp.int32),
+                 jax.ShapeDtypeStruct((A, N, Wp), jnp.int32)]
+    # state planes are updated in place inside the kernel: alias them to
+    # outputs so the kernel's ref mutations ARE the results (ins 5..12)
+    aliases = {5: 2, 6: 3, 7: 4, 8: 5, 9: 6, 10: 7, 11: 8, 12: 9}
+
+    outs = pl.pallas_call(
+        _wrap_add(kernel),
+        grid=(Wp // LANES,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((TLS, LANES), jnp.int32),
+                        pltpu.VMEM((TLS, LANES), jnp.int32)],
+        input_output_aliases=aliases,
+        interpret=interpret,
+    )(*ins)
+    (meta_out, pathsT, baseT, covT, npredT, nsuccT, naligT,
+     predT, predwT, aligT) = outs
+
+    NP = state.pred.shape[1]
+
+    def ut(x, n):
+        return jnp.transpose(x)[:W, :n]
+
+    return dict(
+        base=ut(baseT, NP), cov=ut(covT, NP), npred=ut(npredT, NP),
+        nsucc=ut(nsuccT, NP), nalig=ut(naligT, NP),
+        pred=jnp.transpose(predT, (2, 1, 0))[:W, :NP],
+        predw=jnp.transpose(predwT, (2, 1, 0))[:W, :NP],
+        alig=jnp.transpose(aligT, (2, 1, 0))[:W, :NP],
+        node_count=meta_out[0, :W], status=meta_out[1, :W],
+        path_row=ut(pathsT, L))
+
+
+def _wrap_add(kernel):
+    """Seed the mutable state-plane OUTPUT refs from their input twins
+    (output blocks start uninitialized even when aliased), then run the
+    kernel against the output refs — its in-place mutations are the
+    updated state."""
+    def wrapped(pnT, ppT, seqT, wT, meta, base_in, cov_in, npred_in,
+                nsucc_in, nalig_in, pred_in, predw_in, alig_in,
+                meta_out, pathsT, baseT, covT, npredT, nsuccT, naligT,
+                predT, predwT, aligT, targT, sjT):
+        for dst, src in ((baseT, base_in), (covT, cov_in),
+                         (npredT, npred_in), (nsuccT, nsucc_in),
+                         (naligT, nalig_in), (predT, pred_in),
+                         (predwT, predw_in), (aligT, alig_in)):
+            dst[...] = src[...]
+        kernel(pnT, ppT, seqT, wT, meta, baseT, covT, npredT, nsuccT,
+               naligT, predT, predwT, aligT, meta_out, pathsT, targT, sjT)
+    return wrapped
+
+
+# --------------------------------------------------------------------------
+# Orchestrator: the per-sequence pipeline of models/poa._graph_scan with
+# the hot phases swapped to the lockstep kernels.  `phases` selects which
+# phases run as Pallas kernels (the rest stay vmapped poa_ops XLA) — the
+# dev/bisection surface; production uses the default.
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
+                                             "interpret", "phases", "WPG"))
+def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
+                      sc: PoaScores, banded: bool = False, msa: bool = False,
+                      interpret: bool = False,
+                      phases: tuple = ("nwtb", "add"), WPG: int = 8):
+    """Same contract as models/poa._build_program(bs, sc, msa, banded):
+    returns (codes (W, MC), covs (W, MC), length (W,), rows (W, S, MCOL),
+    n_cols (W,), status (W,))."""
+    N = bs.padded_nodes
+    S = bs.max_sequences_per_poa
+    MC = bs.max_consensus_size
+    TL = N + bs.padded_seq
+    seqs = jnp.asarray(seqs, jnp.int32)
+    weights = jnp.asarray(weights, jnp.int32)
+    lens = jnp.asarray(lens, jnp.int32)
+    n_seqs = jnp.asarray(n_seqs, jnp.int32)
+
+    state = jax.vmap(lambda s0, w0, l0: poa_ops.init_state(bs, s0, w0, l0))(
+        seqs[:, 0], weights[:, 0], lens[:, 0])
+    level0 = jnp.where(jnp.arange(N)[None, :] < lens[:, :1],
+                       jnp.arange(N, dtype=jnp.int32)[None, :], 0)
+
+    def add_seq(carry, x):
+        state, level = carry
+        seq, w, slen, s_idx = x
+        alive = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
+        new_level, order, rank, ok = jax.vmap(
+            lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
+
+        if "nwtb" in phases:
+            pn, pp, k0, band_ok = _nwtb_pallas(
+                bs, sc, banded, interpret, WPG, seq, order, rank,
+                state.npred, state.base, state.nsucc, state.pred,
+                slen, state.node_count, alive)
+        else:
+            bw = bs.band_width if banded else 0
+            Smat = jax.vmap(
+                lambda st, o, r, sq, sl: poa_ops.graph_nw(
+                    st, o, r, sq, sl, sc, band_width=bw))(
+                state, order, rank, seq, slen)
+            pn, pp, k0, band_ok = jax.vmap(
+                lambda st, o, r, sm, sq, sl: poa_ops.nw_traceback(
+                    st, o, r, sm, sq, sl, sc, TL))(
+                state, order, rank, Smat, seq, slen)
+
+        act = alive & band_ok
+        if "add" in phases:
+            upd = _add_pallas(bs, msa, interpret, state, pn, pp, seq, w,
+                              k0, act)
+            paths = state.paths
+            if msa:
+                paths = jax.vmap(
+                    lambda pth, row: pth.at[jnp.clip(s_idx, 0, S - 1)]
+                    .set(row))(paths, upd["path_row"])
+                paths = jnp.where(act[:, None, None], paths, state.paths)
+            new_state = poa_ops.PoaState(
+                base=upd["base"], cov=upd["cov"], npred=upd["npred"],
+                pred=upd["pred"], predw=upd["predw"], nsucc=upd["nsucc"],
+                nalig=upd["nalig"], alig=upd["alig"],
+                node_count=upd["node_count"], status=upd["status"],
+                paths=paths)
+        else:
+            new_state = jax.vmap(
+                lambda st, a, b_, sq, ww, k: poa_ops.add_alignment(
+                    st, a, b_, sq, ww, s_idx, bs, path_start=k))(
+                state, pn, pp, seq, w, k0)
+            # mirror the kernel's gating: no mutation unless act
+            new_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(
+                    act.reshape((-1,) + (1,) * (a.ndim - 1)), a, b),
+                new_state, state)
+
+        status = new_state.status
+        status = jnp.where(alive & band_ok & ~ok,
+                           jnp.int32(StatusType.LOOP_COUNT_EXCEEDED_UPPER_BOUND),
+                           status)
+        status = jnp.where(alive & ~band_ok,
+                           jnp.int32(StatusType.EXCEEDED_BAND_WIDTH), status)
+        status = jnp.where(alive, status, state.status)
+        new_state = new_state._replace(status=status)
+        level = jnp.where(alive[:, None], new_level, level)
+        return (new_state, level), ()
+
+    xs = (jnp.swapaxes(seqs[:, 1:], 0, 1), jnp.swapaxes(weights[:, 1:], 0, 1),
+          jnp.swapaxes(lens[:, 1:], 0, 1), jnp.arange(1, S, dtype=jnp.int32))
+    (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
+
+    _, order, rank, _ = jax.vmap(
+        lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
+    codes, covs, length = jax.vmap(
+        lambda st, o, r: poa_ops.consensus(st, o, r, MC))(state, order, rank)
+    if msa:
+        col, n_cols = jax.vmap(poa_ops.msa_columns)(state, order, rank)
+        rows = jax.vmap(
+            lambda st, c, n: poa_ops.msa_rows(st, c, n, N))(
+            state, col, n_cols)
+    else:
+        W = seqs.shape[0]
+        rows = jnp.zeros((W, S, 1), jnp.int32)
+        n_cols = jnp.zeros((W,), jnp.int32)
+    return codes, covs, length, rows, n_cols, state.status

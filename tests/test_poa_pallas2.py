@@ -1,0 +1,125 @@
+"""Bit-equality of the v2 split-kernel POA pipeline (ops/poa_pallas2.py)
+against the XLA program (models/poa._build_program, itself oracle-verified)
+and the v1 monolith kernel, in Pallas interpret mode on CPU."""
+
+import numpy as np
+import pytest
+
+from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
+from claragenomicsanalysis_tpu.utils.genomeutils import (
+    encode, generate_random_genome, mutate_sequence)
+
+
+def make_batch(bs, W, S, base_len, n_mut, seed=0, short_first=False):
+    rng = np.random.default_rng(seed)
+    L = bs.padded_seq
+    seqs = np.full((W, S, L), -1, np.int32)
+    weights = np.zeros((W, S, L), np.int32)
+    lens = np.zeros((W, S), np.int32)
+    n_seqs = np.full(W, S, np.int32)
+    for wi in range(W):
+        base = generate_random_genome(base_len, rng)
+        for si in range(S):
+            s = mutate_sequence(base, n_mut, rng)[:bs.max_sequence_size]
+            if short_first and si == 0:
+                s = s[: max(4, len(s) // 3)]
+            seqs[wi, si, : len(s)] = encode(s)
+            weights[wi, si, : len(s)] = rng.integers(1, 4, size=len(s))
+            lens[wi, si] = len(s)
+    return seqs, weights, lens, n_seqs
+
+
+def xla_reference(bs, sc, msa, banded, args):
+    from claragenomicsanalysis_tpu.models.poa import _build_program
+    return _build_program(bs, sc, msa, banded)(*args)
+
+
+def run_v2(bs, sc, msa, banded, args, phases):
+    from claragenomicsanalysis_tpu.ops.poa_pallas2 import poa_batch_pallas2
+    return poa_batch_pallas2(*args, bs, sc, banded=banded, msa=msa,
+                             interpret=True, phases=phases)
+
+
+def assert_tuple_equal(got, want, names=("codes", "covs", "length", "rows",
+                                         "n_cols", "status")):
+    for g, w, n in zip(got, want, names):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=f"mismatch in {n}")
+
+
+BS_SMALL = BatchSize(max_sequence_size=48, max_sequences_per_poa=4,
+                     max_pred_per_node=4, max_aligned_per_node=4,
+                     max_nodes_per_window=96)
+
+
+@pytest.mark.parametrize("phases", [("nwtb",), ("add",), ("nwtb", "add")])
+def test_v2_phases_match_xla(phases):
+    bs, sc = BS_SMALL, PoaScores()
+    args = make_batch(bs, W=4, S=4, base_len=40, n_mut=4)
+    want = xla_reference(bs, sc, False, False, args)
+    got = run_v2(bs, sc, False, False, args, phases)
+    assert_tuple_equal(got, want)
+
+
+def test_v2_msa_matches_xla():
+    bs, sc = BS_SMALL, PoaScores()
+    args = make_batch(bs, W=3, S=4, base_len=36, n_mut=5, seed=3)
+    want = xla_reference(bs, sc, True, False, args)
+    got = run_v2(bs, sc, True, False, args, ("nwtb", "add"))
+    assert_tuple_equal(got, want)
+
+
+def test_v2_banded_matches_xla():
+    bs = BatchSize(max_sequence_size=48, max_sequences_per_poa=4,
+                   max_pred_per_node=4, max_aligned_per_node=4,
+                   max_nodes_per_window=96, band_width=16)
+    sc = PoaScores()
+    args = make_batch(bs, W=4, S=4, base_len=40, n_mut=6, seed=5)
+    want = xla_reference(bs, sc, False, True, args)
+    got = run_v2(bs, sc, False, True, args, ("nwtb", "add"))
+    assert_tuple_equal(got, want)
+
+
+def test_v2_overflow_corners_match_xla():
+    # tight caps: node-count, clique and edge overflows all hit
+    bs = BatchSize(max_sequence_size=32, max_sequences_per_poa=6,
+                   max_pred_per_node=2, max_aligned_per_node=2,
+                   max_nodes_per_window=40)
+    sc = PoaScores()
+    args = make_batch(bs, W=6, S=6, base_len=30, n_mut=8, seed=7)
+    want = xla_reference(bs, sc, False, False, args)
+    got = run_v2(bs, sc, False, False, args, ("nwtb", "add"))
+    assert_tuple_equal(got, want)
+
+
+def test_v2_short_and_uneven_windows():
+    bs, sc = BS_SMALL, PoaScores()
+    seqs, weights, lens, n_seqs = make_batch(bs, W=5, S=4, base_len=40,
+                                             n_mut=4, seed=11,
+                                             short_first=True)
+    n_seqs[1] = 1          # single-sequence window
+    n_seqs[2] = 2
+    want = xla_reference(bs, sc, False, False,
+                         (seqs, weights, lens, n_seqs))
+    got = run_v2(bs, sc, False, False, (seqs, weights, lens, n_seqs),
+                 ("nwtb", "add"))
+    assert_tuple_equal(got, want)
+
+
+def test_v2_matches_v1_kernel():
+    """End-to-end v2 vs the v1 monolith kernel on the semantic outputs
+    (consensus codes/covs/length/status; widths differ by padding)."""
+    from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
+    bs, sc = BS_SMALL, PoaScores()
+    args = make_batch(bs, W=4, S=4, base_len=40, n_mut=4, seed=13)
+    c1, v1cov, l1, _, _, st1 = poa_batch_pallas(
+        *[np.asarray(a) for a in args], bs, sc, interpret=True, WPG=1)
+    c2, cov2, l2, _, _, st2 = run_v2(bs, sc, False, False, args,
+                                     ("nwtb", "add"))
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    np.testing.assert_array_equal(np.asarray(st1), np.asarray(st2))
+    mc = min(c1.shape[1], np.asarray(c2).shape[1])
+    np.testing.assert_array_equal(np.asarray(c1)[:, :mc],
+                                  np.asarray(c2)[:, :mc])
+    np.testing.assert_array_equal(np.asarray(v1cov)[:, :mc],
+                                  np.asarray(cov2)[:, :mc])
