@@ -734,6 +734,336 @@ def _wrap_add(kernel):
 
 
 # --------------------------------------------------------------------------
+# Kernel 3: topological sort, lockstep over windows (semantics:
+# poa_ops.topsort; reference: cudapoa_topsort.cuh [U]).
+#
+# Levels by monotone Gauss-Seidel max-relaxation, SEQUENTIAL over source
+# node id v, lockstep over windows: node v's level is a sublane-slice read
+# (free), and "raise every node u with pred v" is a (N, W) masked select.
+# Monotone relaxation reaches the same longest-path fixpoint as the XLA
+# Jacobi because the warm start is always a lower bound (levels only grow
+# as the graph gains nodes/edges).  Ids are near-topological in POA
+# graphs, so ascending-id sweeps converge in ~2 passes.
+# Then a lockstep counting sort by (level, id) — inactive nodes get
+# level N so they land after all active ones in id order — reproducing
+# poa_ops.topsort's argsort(level*N + idx) order bit-for-bit.
+# --------------------------------------------------------------------------
+
+def _build_topsort_kernel(bs: BatchSize):
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    NL = round_up(N + 1, 8)
+
+    def kernel(prev_lvl, npredT, predT, meta, lvlT, orderT, rankT, meta_out,
+               lvlE, cntT, offT):
+        W = npredT.shape[-1]
+        iN = _siota(N, W)
+        iNL = _siota(NL, W)
+        ncr = meta[pl.ds(0, 1)]
+        act = iN < ncr
+        lvlT[...] = jnp.where(act, jnp.maximum(prev_lvl[...], 0), 0)
+        slot_ok = [p < npredT[...] for p in range(P)]
+
+        def sweep(c):
+            _, it = c
+
+            def vstep(v, ch):
+                cand = lvlT[pl.ds(v, 1)] + 1
+                upd = jnp.zeros((N, W), jnp.bool_)
+                for p in range(P):
+                    upd = upd | ((predT[p] == v) & slot_ok[p])
+                need = upd & act & (lvlT[...] < cand)
+                lvlT[...] = jnp.where(need, jnp.broadcast_to(cand, (N, W)),
+                                      lvlT[...])
+                return ch | jnp.any(need)
+
+            ch = jax.lax.fori_loop(0, N, vstep, jnp.bool_(False))
+            return ch, it + 1
+
+        changed, _ = jax.lax.while_loop(
+            lambda c: c[0] & (c[1] < N + 2), sweep,
+            (jnp.bool_(True), jnp.int32(0)))
+        ok = ~changed
+
+        # counting sort by (level, id): count / exclusive-prefix / place
+        lvlE[...] = jnp.where(act, lvlT[...], N)
+        cntT[...] = jnp.zeros((NL, W), jnp.int32)
+
+        def count_step(u, _):
+            m = iNL == lvlE[pl.ds(u, 1)]
+            cntT[...] = cntT[...] + jnp.where(m, 1, 0)
+            return ()
+
+        jax.lax.fori_loop(0, N, count_step, ())
+
+        def prefix_step(l, carry):
+            c = cntT[pl.ds(l, 1)]
+            offT[pl.ds(l, 1)] = carry
+            return carry + c
+
+        jax.lax.fori_loop(0, NL, prefix_step, jnp.zeros((1, W), jnp.int32))
+
+        def place_step(u, _):
+            m = iNL == lvlE[pl.ds(u, 1)]
+            off = jnp.sum(jnp.where(m, offT[...], 0), axis=0, keepdims=True)
+            offT[...] = offT[...] + jnp.where(m, 1, 0)
+            rankT[pl.ds(u, 1)] = off
+            orderT[...] = jnp.where(iN == off, u, orderT[...])
+            return ()
+
+        orderT[...] = jnp.zeros((N, W), jnp.int32)
+        jax.lax.fori_loop(0, N, place_step, ())
+
+        mo = jnp.zeros((8, W), jnp.int32)
+        mo = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (8, W), 0) == 0,
+                       jnp.where(ok, 1, 0), mo)
+        meta_out[...] = mo
+
+    return kernel, dict(N=N, P=P, NL=NL)
+
+
+def _topsort_pallas(bs: BatchSize, interpret: bool, state, level):
+    """Lockstep topsort over all windows.  state fields are (W, N)-major;
+    returns (level (W, N), order (W, N), rank (W, N), ok (W,)) matching
+    poa_ops.topsort(state, level, N + 2) bit-for-bit on DAGs."""
+    W = level.shape[0]
+    kernel, d = _build_topsort_kernel(bs)
+    N, P, NL = d["N"], d["P"], d["NL"]
+    LANES = 128
+    Wp = round_up(W, LANES)
+
+    def t2(x, rows, fill=0):
+        x = jnp.transpose(x.astype(jnp.int32))
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, Wp - W)),
+                       constant_values=fill)
+
+    predT = jnp.transpose(state.pred.astype(jnp.int32), (2, 1, 0))
+    predT = jnp.pad(predT, ((0, 0), (0, N - predT.shape[1]), (0, Wp - W)),
+                    constant_values=-1)
+    meta = jnp.zeros((8, Wp), jnp.int32)
+    meta = meta.at[0, :W].set(state.node_count.astype(jnp.int32))
+
+    def spec(*shape):
+        return pl.BlockSpec(shape + (LANES,),
+                            lambda w: (0,) * len(shape) + (w,),
+                            memory_space=pltpu.VMEM)
+
+    lvlT, orderT, rankT, meta_out = pl.pallas_call(
+        kernel,
+        grid=(Wp // LANES,),
+        in_specs=[spec(N), spec(N), spec(P, N), spec(8)],
+        out_specs=(spec(N), spec(N), spec(N), spec(8)),
+        out_shape=(jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((N, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((8, Wp), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32),
+                        pltpu.VMEM((NL, LANES), jnp.int32),
+                        pltpu.VMEM((NL, LANES), jnp.int32)],
+        interpret=interpret,
+    )(t2(level, N), t2(state.npred, N), predT, meta)
+
+    NP = state.pred.shape[1]
+
+    def ut(x):
+        return jnp.transpose(x)[:W, :NP]
+
+    return ut(lvlT), ut(orderT), ut(rankT), meta_out[0, :W] != 0
+
+
+# --------------------------------------------------------------------------
+# Kernel 4: heaviest-bundle consensus, lockstep over windows (semantics:
+# poa_ops.consensus; reference: cudapoa_generate_consensus.cuh [U]).
+#
+# Scores by the same monotone Gauss-Seidel v-sweep as topsort (score[u] =
+# wmax[u] + max over heaviest-edge preds' scores; the unique DAG fixpoint,
+# reached monotonically from NEG since real scores are >= 0).  best_pred
+# needs score[pred] per slot — one more v-sweep fills (P, N, W) planes
+# without gathers.  The backtrack walk runs lockstep across windows: each
+# step is one (N, W) masked gather of best_pred + one (MC, W) masked
+# write, so 128 windows chase pointers for the cost of ~2 plane ops/step.
+# --------------------------------------------------------------------------
+
+def _build_consensus_kernel(bs: BatchSize):
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    MC = bs.max_consensus_size
+    MCS = round_up(MC, 8)
+    BIG = 2**30
+
+    def kernel(npredT, predT, predwT, baseT, covT, rankT, meta,
+               codesT, covsT, meta_out, scoreT, psT, bpT, bufT):
+        W = npredT.shape[-1]
+        iN = _siota(N, W)
+        iMC = _siota(MCS, W)
+        ncr = meta[pl.ds(0, 1)]
+        act = iN < ncr
+        slot_ok = [(p < npredT[...]) & act for p in range(P)]
+        w_p = [jnp.where(slot_ok[p], predwT[p], NEG) for p in range(P)]
+        wmax = w_p[0]
+        for p in range(1, P):
+            wmax = jnp.maximum(wmax, w_p[p])
+        tie1 = [slot_ok[p] & (w_p[p] == wmax) for p in range(P)]
+        has = npredT[...] > 0
+
+        scoreT[...] = jnp.where(act & ~has, 0, NEG)
+
+        def sweep(c):
+            _, it = c
+
+            def vstep(v, ch):
+                sv = scoreT[pl.ds(v, 1)]
+                cand = wmax + sv
+                upd = jnp.zeros((N, W), jnp.bool_)
+                for p in range(P):
+                    upd = upd | (tie1[p] & (predT[p] == v))
+                need = upd & has & (scoreT[...] < cand)
+                scoreT[...] = jnp.where(need, cand, scoreT[...])
+                return ch | jnp.any(need)
+
+            ch = jax.lax.fori_loop(0, N, vstep, jnp.bool_(False))
+            return ch, it + 1
+
+        jax.lax.while_loop(lambda c: c[0] & (c[1] < N + 2), sweep,
+                           (jnp.bool_(True), jnp.int32(0)))
+
+        # fill per-slot pred scores (final), then pick the first slot
+        # achieving the lexicographic max (slots are pred-index-sorted)
+        for p in range(P):
+            psT[p] = jnp.full((N, W), NEG, jnp.int32)
+
+        def fill(v, _):
+            sv = scoreT[pl.ds(v, 1)]
+            for p in range(P):
+                psT[p] = jnp.where(tie1[p] & (predT[p] == v),
+                                   jnp.broadcast_to(sv, (N, W)), psT[p])
+            return ()
+
+        jax.lax.fori_loop(0, N, fill, ())
+        smax = psT[0]
+        for p in range(1, P):
+            smax = jnp.maximum(smax, psT[p])
+        found = jnp.zeros((N, W), jnp.bool_)
+        bp = jnp.full((N, W), -1, jnp.int32)
+        for p in range(P):
+            hit = tie1[p] & (psT[p] == smax) & ~found
+            bp = jnp.where(hit, predT[p], bp)
+            found = found | hit
+        bpT[...] = jnp.where(act & has, bp, -1)
+
+        # end node: max score, tie -> smallest rank
+        smax_all = jnp.max(jnp.where(act, scoreT[...], NEG), axis=0,
+                           keepdims=True)
+        tie_end = act & (scoreT[...] == smax_all)
+        minr = jnp.min(jnp.where(tie_end, rankT[...], BIG), axis=0,
+                       keepdims=True)
+        end = jnp.sum(jnp.where(tie_end & (rankT[...] == minr), iN, 0),
+                      axis=0, keepdims=True)
+
+        # lockstep backtrack walk
+        bufT[...] = jnp.full((MCS, W), -1, jnp.int32)
+
+        def wstep(_, c):
+            u_row, k_row = c
+            aliveW = (u_row >= 0) & (k_row > 0)
+            mask_k = iMC == jnp.clip(k_row - 1, 0, MCS - 1)
+            bufT[...] = jnp.where(mask_k & aliveW,
+                                  jnp.broadcast_to(u_row, (MCS, W)),
+                                  bufT[...])
+            m_u = iN == jnp.clip(u_row, 0, N - 1)
+            bp_u = jnp.sum(jnp.where(m_u, bpT[...], 0), axis=0,
+                           keepdims=True)
+            u_row = jnp.where(aliveW, bp_u, u_row)
+            k_row = k_row - jnp.where(aliveW, 1, 0)
+            return u_row, k_row
+
+        u0 = jnp.where(ncr > 0, end, -1)
+        _, k_row = jax.lax.fori_loop(
+            0, MC, wstep, (u0, jnp.full((1, W), MC, jnp.int32)))
+        length = MC - k_row
+
+        # emit codes/covs shifted to the front
+        def estep(i, _):
+            valid = i < length
+            src = jnp.clip(i + k_row, 0, MCS - 1)
+            m_s = iMC == src
+            node = jnp.sum(jnp.where(m_s, bufT[...], 0), axis=0,
+                           keepdims=True)
+            m_n = iN == jnp.clip(node, 0, N - 1)
+            b = jnp.sum(jnp.where(m_n, baseT[...], 0), axis=0,
+                        keepdims=True)
+            c = jnp.sum(jnp.where(m_n, covT[...], 0), axis=0,
+                        keepdims=True)
+            codesT[pl.ds(i, 1)] = jnp.where(valid, b, -1)
+            covsT[pl.ds(i, 1)] = jnp.where(valid, c, 0)
+            return ()
+
+        jax.lax.fori_loop(0, MC, estep, ())
+        if MCS > MC:
+            codesT[pl.ds(MC, MCS - MC)] = jnp.full((MCS - MC, W), -1,
+                                                   jnp.int32)
+            covsT[pl.ds(MC, MCS - MC)] = jnp.zeros((MCS - MC, W),
+                                                   jnp.int32)
+
+        mo = jnp.zeros((8, W), jnp.int32)
+        mo = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (8, W), 0) == 0,
+                       jnp.broadcast_to(length, (8, W)), mo)
+        meta_out[...] = mo
+
+    return kernel, dict(N=N, P=P, MC=MC, MCS=MCS)
+
+
+def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
+    """Lockstep consensus over all windows.  Returns (codes (W, MC),
+    covs (W, MC), length (W,)) matching poa_ops.consensus bit-for-bit."""
+    W = rank.shape[0]
+    kernel, d = _build_consensus_kernel(bs)
+    N, P, MC, MCS = d["N"], d["P"], d["MC"], d["MCS"]
+    LANES = 128
+    Wp = round_up(W, LANES)
+
+    def t2(x, rows, fill=0):
+        x = jnp.transpose(x.astype(jnp.int32))
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, Wp - W)),
+                       constant_values=fill)
+
+    def t3(x, fill=0):
+        x = jnp.transpose(x.astype(jnp.int32), (2, 1, 0))
+        return jnp.pad(x, ((0, 0), (0, N - x.shape[1]), (0, Wp - W)),
+                       constant_values=fill)
+
+    meta = jnp.zeros((8, Wp), jnp.int32)
+    meta = meta.at[0, :W].set(state.node_count.astype(jnp.int32))
+
+    def spec(*shape):
+        return pl.BlockSpec(shape + (LANES,),
+                            lambda w: (0,) * len(shape) + (w,),
+                            memory_space=pltpu.VMEM)
+
+    codesT, covsT, meta_out = pl.pallas_call(
+        kernel,
+        grid=(Wp // LANES,),
+        in_specs=[spec(N), spec(P, N), spec(P, N), spec(N), spec(N),
+                  spec(N), spec(8)],
+        out_specs=(spec(MCS), spec(MCS), spec(8)),
+        out_shape=(jax.ShapeDtypeStruct((MCS, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((MCS, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((8, Wp), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32),
+                        pltpu.VMEM((P, N, LANES), jnp.int32),
+                        pltpu.VMEM((N, LANES), jnp.int32),
+                        pltpu.VMEM((MCS, LANES), jnp.int32)],
+        interpret=interpret,
+    )(t2(state.npred, N), t3(state.pred, -1), t3(state.predw),
+      t2(state.base, N, -1), t2(state.cov, N), t2(rank, N), meta)
+
+    def ut(x, n):
+        return jnp.transpose(x)[:W, :n]
+
+    return ut(codesT, MC), ut(covsT, MC), meta_out[0, :W]
+
+
+# --------------------------------------------------------------------------
 # Orchestrator: the per-sequence pipeline of models/poa._graph_scan with
 # the hot phases swapped to the lockstep kernels.  `phases` selects which
 # phases run as Pallas kernels (the rest stay vmapped poa_ops XLA) — the
@@ -763,12 +1093,17 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
     level0 = jnp.where(jnp.arange(N)[None, :] < lens[:, :1],
                        jnp.arange(N, dtype=jnp.int32)[None, :], 0)
 
+    def run_topsort(state, level):
+        if "topsort" in phases:
+            return _topsort_pallas(bs, interpret, state, level)
+        return jax.vmap(
+            lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
+
     def add_seq(carry, x):
         state, level = carry
         seq, w, slen, s_idx = x
         alive = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
-        new_level, order, rank, ok = jax.vmap(
-            lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
+        new_level, order, rank, ok = run_topsort(state, level)
 
         if "nwtb" in phases:
             pn, pp, k0, band_ok = _nwtb_pallas(
@@ -828,10 +1163,13 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
           jnp.swapaxes(lens[:, 1:], 0, 1), jnp.arange(1, S, dtype=jnp.int32))
     (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
 
-    _, order, rank, _ = jax.vmap(
-        lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
-    codes, covs, length = jax.vmap(
-        lambda st, o, r: poa_ops.consensus(st, o, r, MC))(state, order, rank)
+    _, order, rank, _ = run_topsort(state, level)
+    if "consensus" in phases:
+        codes, covs, length = _consensus_pallas(bs, interpret, state, rank)
+    else:
+        codes, covs, length = jax.vmap(
+            lambda st, o, r: poa_ops.consensus(st, o, r, MC))(
+            state, order, rank)
     if msa:
         col, n_cols = jax.vmap(poa_ops.msa_columns)(state, order, rank)
         rows = jax.vmap(

@@ -52,7 +52,9 @@ BS_SMALL = BatchSize(max_sequence_size=48, max_sequences_per_poa=4,
                      max_nodes_per_window=96)
 
 
-@pytest.mark.parametrize("phases", [("nwtb",), ("add",), ("nwtb", "add")])
+@pytest.mark.parametrize("phases", [("nwtb",), ("add",), ("nwtb", "add"),
+                                    ("topsort",), ("consensus",),
+                                    ("nwtb", "add", "topsort", "consensus")])
 def test_v2_phases_match_xla(phases):
     bs, sc = BS_SMALL, PoaScores()
     args = make_batch(bs, W=4, S=4, base_len=40, n_mut=4)
@@ -88,8 +90,49 @@ def test_v2_overflow_corners_match_xla():
     sc = PoaScores()
     args = make_batch(bs, W=6, S=6, base_len=30, n_mut=8, seed=7)
     want = xla_reference(bs, sc, False, False, args)
-    got = run_v2(bs, sc, False, False, args, ("nwtb", "add"))
+    got = run_v2(bs, sc, False, False, args,
+                 ("nwtb", "add", "topsort", "consensus"))
     assert_tuple_equal(got, want)
+
+
+def test_topsort_pallas_matches_xla_on_evolved_state():
+    """Direct unit check: _topsort_pallas on mid-scan graph states (built
+    by the oracle-verified XLA pipeline) matches poa_ops.topsort exactly —
+    level, order, rank AND ok."""
+    import jax
+    import jax.numpy as jnp
+    from claragenomicsanalysis_tpu.ops import poa_ops
+    from claragenomicsanalysis_tpu.ops.poa_pallas2 import _topsort_pallas
+
+    bs, sc = BS_SMALL, PoaScores()
+    N = bs.padded_nodes
+    seqs, weights, lens, n_seqs = make_batch(bs, W=4, S=4, base_len=40,
+                                             n_mut=6, seed=17)
+    state = jax.vmap(lambda s0, w0, l0: poa_ops.init_state(
+        bs, s0, w0, l0))(jnp.asarray(seqs[:, 0]), jnp.asarray(weights[:, 0]),
+                         jnp.asarray(lens[:, 0]))
+    level = jnp.where(jnp.arange(N)[None, :] < lens[:, :1],
+                      jnp.arange(N, dtype=jnp.int32)[None, :], 0)
+    for si in range(1, 4):
+        want = jax.vmap(lambda st, lv: poa_ops.topsort(st, lv, N + 2))(
+            state, level)
+        got = _topsort_pallas(bs, True, state, level)
+        for g, w, nm in zip(got, want, ("level", "order", "rank", "ok")):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                          err_msg=f"seq {si}: {nm}")
+        level, order, rank, _ = want
+        seq, w_, sl = (jnp.asarray(seqs[:, si]), jnp.asarray(weights[:, si]),
+                       jnp.asarray(lens[:, si]))
+        Smat = jax.vmap(lambda st, o, r, q, s_: poa_ops.graph_nw(
+            st, o, r, q, s_, sc))(state, order, rank, seq, sl)
+        pn, pp, k0, _ = jax.vmap(
+            lambda st, o, r, sm, q, s_: poa_ops.nw_traceback(
+                st, o, r, sm, q, s_, sc, N + bs.padded_seq))(
+            state, order, rank, Smat, seq, sl)
+        state = jax.vmap(
+            lambda st, a, b_, q, ww, k: poa_ops.add_alignment(
+                st, a, b_, q, ww, jnp.int32(si), bs, path_start=k))(
+            state, pn, pp, seq, w_, k0)
 
 
 def test_v2_short_and_uneven_windows():
@@ -102,7 +145,7 @@ def test_v2_short_and_uneven_windows():
     want = xla_reference(bs, sc, False, False,
                          (seqs, weights, lens, n_seqs))
     got = run_v2(bs, sc, False, False, (seqs, weights, lens, n_seqs),
-                 ("nwtb", "add"))
+                 ("nwtb", "add", "topsort", "consensus"))
     assert_tuple_equal(got, want)
 
 
