@@ -22,9 +22,11 @@ models/poa._graph_scan):
   the common path; pass separation is semantics-preserving because each
   graph node is target of at most one column per sequence (see
   docs/POA_V2.md).
-- topsort / consensus / MSA stay the vmapped XLA programs of
-  ops/poa_ops.py (fixpoint relaxation amortizes across windows already);
-  they can be kernelized later if they dominate.
+- topsort / consensus: lockstep kernels too (the on-chip bisection showed
+  the XLA versions' gathers/argsort/walk dominating the batch at ~900 ms
+  of 1186 ms) — monotone Gauss-Seidel v-sweeps for levels/scores, a
+  lockstep counting sort, and a lockstep backtrack walk.  MSA columns
+  stay the vmapped XLA program (not on the consensus hot path).
 
 Phases are bit-identical to ops/poa_ops.py (the executable spec is
 cpu/poa_oracle.py) and asserted so by tests/test_poa_pallas2.py.
@@ -102,7 +104,7 @@ def _scatter_add(plane, mask, do_row, val_row):
 # --------------------------------------------------------------------------
 
 def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
-                       WPG: int):
+                       WPG: int, moves_tb: bool = True):
     N = round_up(bs.padded_nodes, 8)
     P = bs.max_pred_per_node
     L = bs.padded_seq
@@ -116,7 +118,8 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
     SCAN_QS = max(1, (L1 - 1).bit_length())
 
     def kernel(seqsh_ref, seq_s, meta_s, order_s, rank_s, npred_s, base_s,
-               nsucc_s, pred_s, pn_out, pp_out, meta_out, smat2):
+               nsucc_s, pred_s, pn_out, pp_out, meta_out, smat2,
+               moves2=None):
         jj = _iota(L1)
 
         def sel_vec(vals):
@@ -185,6 +188,42 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 row = jnp.where(in_band, row, NEG)
             row = jnp.where(jj <= slen8, row, NEG)
             smat2[pl.ds(r + 1, 1)] = row[None]
+
+            if moves_tb:
+                # Record a packed move word per cell: 2-bit move (0 diag,
+                # 1 vert, 3 horiz) | (chosen pred rank) << 2, derived with
+                # exactly the traceback probe's first-slot tie-break, so
+                # the walk later reads ONE word per step.
+                for wi in range(WPG):
+                    u = jnp.clip(order_s[wi, jnp.clip(r, 0, N - 1)],
+                                 0, N - 1)
+                    npred_u = npred_s[wi, u]
+                    row_wi = row[wi][None]
+                    sub_wi = sub[wi][None]
+                    any_d = jnp.zeros((1, L1), jnp.bool_)
+                    any_v = jnp.zeros((1, L1), jnp.bool_)
+                    sel_d = jnp.zeros((1, L1), jnp.int32)
+                    sel_v = jnp.zeros((1, L1), jnp.int32)
+                    for p in range(P):
+                        pi = pred_s[wi, p, u]
+                        virt = (p == 0) & (npred_u == 0)
+                        slot_ok = (p < npred_u) | virt
+                        pr = jnp.where(
+                            virt, 0, rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1)
+                        prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
+                        prow_sh = pltpu.roll(prow, shift=1, axis=1)
+                        d_ok = (slot_ok & (jj >= 1)
+                                & (prow_sh + sub_wi == row_wi))
+                        v_ok = slot_ok & (prow + GAP == row_wi)
+                        sel_d = jnp.where(d_ok & ~any_d, pr - 1, sel_d)
+                        sel_v = jnp.where(v_ok & ~any_v, pr - 1, sel_v)
+                        any_d = any_d | d_ok
+                        any_v = any_v | v_ok
+                    move = jnp.where(any_d, 0, jnp.where(any_v, 1, 3))
+                    sel = jnp.where(any_d, sel_d,
+                                    jnp.where(any_v, sel_v, 0))
+                    moves2[pl.ds(r + 1, 1), wi, :] = (
+                        move | ((sel + 1) << 2))
             return ()
 
         jax.lax.fori_loop(0, max_nc, nw_body, ())
@@ -223,6 +262,22 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 def cond(c):
                     r, j, k = c
                     return ((r >= 0) | (j > 0)) & (k > 0)
+
+                def body_moves(c, wi=wi):
+                    r, j, k = c
+                    u = jnp.where((r >= 0) & (r < N),
+                                  order_s[wi, jnp.clip(r, 0, N - 1)], -1)
+                    at_virtual = r < 0
+                    word = _lx(moves2[pl.ds(jnp.clip(r + 1, 0, N), 1),
+                                      wi, :], j)
+                    move = jnp.where(at_virtual, 3, word & 3)
+                    sel = (word >> 2) - 1
+                    new_r = jnp.where((move == 0) | (move == 1), sel, r)
+                    new_j = jnp.where((move == 0) | (move == 3), j - 1, j)
+                    k2 = k - 1
+                    pn_out[wi, k2] = jnp.where(move == 3, -1, u)
+                    pp_out[wi, k2] = jnp.where(move == 1, -1, j - 1)
+                    return new_r, new_j, k2
 
                 def body(c, wi=wi):
                     r, j, k = c
@@ -283,7 +338,8 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                     return new_r, new_j, k2
 
                 _, _, k = jax.lax.while_loop(
-                    cond, body, (r_end, slen, jnp.int32(TL)))
+                    cond, body_moves if moves_tb else body,
+                    (r_end, slen, jnp.int32(TL)))
                 meta_out[wi, 0] = k
                 meta_out[wi, 1] = jnp.where(band_ok, 1, 0)
                 return ()
@@ -300,13 +356,13 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
 def _nwtb_pallas(bs: BatchSize, sc: PoaScores, banded: bool, interpret: bool,
                  WPG: int, seq, order, rank, npred, base, nsucc, pred,
-                 slen, node_count, alive):
+                 slen, node_count, alive, moves_tb: bool = True):
     """Run the NW+traceback kernel for one added sequence over all windows.
 
     seq: (W, L) int32 codes; pred: (W, N, P); scalar per-window rows are
     (W,).  Returns (pn (W, TL), pp (W, TL), k0 (W,), band_ok (W,))."""
     W = seq.shape[0]
-    kernel, d = _build_nwtb_kernel(bs, sc, banded, WPG)
+    kernel, d = _build_nwtb_kernel(bs, sc, banded, WPG, moves_tb)
     N, P, L, L1, TL, TLS = (d["N"], d["P"], d["L"], d["L1"], d["TL"],
                             d["TLS"])
     NS = round_up(N, 128)
@@ -351,8 +407,10 @@ def _nwtb_pallas(bs: BatchSize, sc: PoaScores, banded: bool, interpret: bool,
         out_shape=(jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
                    jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
                    jax.ShapeDtypeStruct((Wp, 128), jnp.int32)),
-        scratch_shapes=[
-            pltpu.VMEM((round_up(N + 3, 8), WPG, L1), jnp.int32)],
+        scratch_shapes=(
+            [pltpu.VMEM((round_up(N + 3, 8), WPG, L1), jnp.int32)]
+            + ([pltpu.VMEM((round_up(N + 3, 8), WPG, L1), jnp.int32)]
+               if moves_tb else [])),
         interpret=interpret,
     )(padw(seqsh), padw(padlane(seq, L128, -1)), padw(meta),
       padw(padlane(order.astype(jnp.int32), NS)),
@@ -1071,11 +1129,14 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
 # --------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
-                                             "interpret", "phases", "WPG"))
+                                             "interpret", "phases", "WPG",
+                                             "moves_tb"))
 def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
                       sc: PoaScores, banded: bool = False, msa: bool = False,
                       interpret: bool = False,
-                      phases: tuple = ("nwtb", "add"), WPG: int = 8):
+                      phases: tuple = ("nwtb", "add", "topsort",
+                                       "consensus"),
+                      WPG: int = 8, moves_tb: bool = True):
     """Same contract as models/poa._build_program(bs, sc, msa, banded):
     returns (codes (W, MC), covs (W, MC), length (W,), rows (W, S, MCOL),
     n_cols (W,), status (W,))."""
@@ -1109,7 +1170,7 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
             pn, pp, k0, band_ok = _nwtb_pallas(
                 bs, sc, banded, interpret, WPG, seq, order, rank,
                 state.npred, state.base, state.nsucc, state.pred,
-                slen, state.node_count, alive)
+                slen, state.node_count, alive, moves_tb)
         else:
             bw = bs.band_width if banded else 0
             Smat = jax.vmap(

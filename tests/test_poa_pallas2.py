@@ -63,6 +63,18 @@ def test_v2_phases_match_xla(phases):
     assert_tuple_equal(got, want)
 
 
+def test_v2_probe_traceback_matches_xla():
+    """moves_tb=False (probe walk) must agree with the recorded-moves
+    default and the XLA program."""
+    from claragenomicsanalysis_tpu.ops.poa_pallas2 import poa_batch_pallas2
+    bs, sc = BS_SMALL, PoaScores()
+    args = make_batch(bs, W=4, S=4, base_len=40, n_mut=6, seed=23)
+    want = xla_reference(bs, sc, False, False, args)
+    got = poa_batch_pallas2(*args, bs, sc, interpret=True,
+                            phases=("nwtb", "add"), moves_tb=False)
+    assert_tuple_equal(got, want)
+
+
 def test_v2_msa_matches_xla():
     bs, sc = BS_SMALL, PoaScores()
     args = make_batch(bs, W=3, S=4, base_len=36, n_mut=5, seed=3)
