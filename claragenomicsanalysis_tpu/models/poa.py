@@ -195,6 +195,17 @@ class Batch:
         from ..ops.poa_pallas import smem_bytes_per_window
         fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
                 and self.batch_size.max_sequences_per_poa < 128)
+        if self.backend == "pallas2":
+            # lockstep-over-windows POA v2 (ops/poa_pallas2.py) — windows on
+            # the lane axis for the graph-mutation phases; same contract
+            from ..ops.poa_pallas2 import poa_batch_pallas2
+            out = poa_batch_pallas2(
+                jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
+                jnp.asarray(n_seqs), self.batch_size, self.scores,
+                banded=self.banded_alignment, msa=msa,
+                interpret=not pallas_available())
+            self._out = tuple(np.asarray(o) for o in out)
+            return
         use_pallas = (self.backend == "pallas"
                       or (self.backend == "auto" and pallas_available()
                           and fits))
@@ -320,7 +331,8 @@ def create_batch(batch_size: BatchSize | None = None,
     """Factory mirroring the reference create_batch [U] (incl. its
     banded_alignment bool; band width comes from BatchSize.band_width).
     backend: "auto" (in-kernel Pallas POA on TPU — consensus and MSA —
-    XLA program on other backends), "pallas", or "xla".
+    XLA program on other backends), "pallas", "pallas2" (lockstep
+    window-batched v2 kernels, ops/poa_pallas2.py), or "xla".
     mesh: optional Mesh — windows are sharded over its 'data' axis."""
     if scores is None and any(v is not None for v in
                               (gap_score, mismatch_score, match_score)):

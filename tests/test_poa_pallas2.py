@@ -178,3 +178,23 @@ def test_v2_matches_v1_kernel():
                                   np.asarray(c2)[:, :mc])
     np.testing.assert_array_equal(np.asarray(v1cov)[:, :mc],
                                   np.asarray(cov2)[:, :mc])
+
+
+def test_v2_model_backend():
+    """backend="pallas2" through the public Batch surface matches the
+    default (XLA on CPU) backend's consensus/coverage/status."""
+    from claragenomicsanalysis_tpu.core.status import OutputType
+    from claragenomicsanalysis_tpu.models.poa import create_batch
+    rng = np.random.default_rng(5)
+    windows = []
+    for _ in range(3):
+        base = generate_random_genome(40, rng)
+        windows.append([mutate_sequence(base, 4, rng) for _ in range(4)])
+    outs = {}
+    for backend in ("xla", "pallas2"):
+        b = create_batch(batch_size=BS_SMALL, backend=backend,
+                         output_mask=OutputType.CONSENSUS)
+        for w in windows:
+            b.add_poa_group(w)
+        outs[backend] = b.get_consensus()
+    assert outs["pallas2"] == outs["xla"]
