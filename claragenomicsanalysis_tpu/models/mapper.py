@@ -241,6 +241,16 @@ class Matcher:
         return {k: np.asarray(v) for k, v in self._anchors.items()}
 
 
+def _pack2_ok(qidx: "Index", tidx: "Index") -> bool:
+    """True when every read id (global) fits 15 bits and every position 16
+    bits on both sides — the precondition for chain_anchors' 2-operand
+    packed sort.  Falls back to the 4-operand path otherwise."""
+    return (qidx.first_read_id + len(qidx.read_lengths) <= (1 << 15)
+            and tidx.first_read_id + len(tidx.read_lengths) <= (1 << 15)
+            and max(qidx.read_lengths, default=0) <= (1 << 16)
+            and max(tidx.read_lengths, default=0) <= (1 << 16))
+
+
 def _canonical_order(rows: np.ndarray) -> np.ndarray:
     """Overlap.key() order as one numpy lexsort over (8, n) overlap rows
     (lexsort keys are least-significant first)."""
@@ -252,11 +262,16 @@ class Overlapper:
     """Triggered chaining + filters (reference: OverlapperTriggered [U])."""
 
     @staticmethod
-    def get_overlap_rows(anchors: dict, cfg: MapperConfig) -> np.ndarray:
+    def get_overlap_rows(anchors: dict, cfg: MapperConfig,
+                         pack2: bool = False) -> np.ndarray:
         """Chained overlaps as an (8, n) int32 array in canonical
         Overlap.key() order (rows: q_read, t_read, q_start, q_end, t_start,
         t_end, n_residues, strand01).  The array form is the scale path —
-        per-overlap Python objects would dominate at millions of rows."""
+        per-overlap Python objects would dominate at millions of rows.
+
+        pack2: caller asserts read ids < 2^15 and positions < 2^16 (see
+        _pack2_ok) — the chain sort then runs 2 uint32 operands instead
+        of 4 int32 ones."""
         frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
         with trace_range("mapper.chain"):
             out = map_ops.chain_anchors(
@@ -266,7 +281,7 @@ class Overlapper:
                 min_bases_per_residue=cfg.min_bases_per_residue,
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
-                max_gap=cfg.max_anchor_gap)
+                max_gap=cfg.max_anchor_gap, pack2=pack2)
             C = out["valid"].shape[0]
             if C <= (1 << 21):
                 # small capacity: the fused 9-operand compaction sort is one
@@ -289,9 +304,10 @@ class Overlapper:
                         "+" if c[7] == 0 else "-") for c in cols]
 
     @staticmethod
-    def get_overlaps(anchors: dict, cfg: MapperConfig) -> list[Overlap]:
+    def get_overlaps(anchors: dict, cfg: MapperConfig,
+                     pack2: bool = False) -> list[Overlap]:
         return Overlapper.rows_to_overlaps(
-            Overlapper.get_overlap_rows(anchors, cfg))
+            Overlapper.get_overlap_rows(anchors, cfg, pack2=pack2))
 
     @staticmethod
     def filter_overlaps(overlaps: list[Overlap], min_residues: int = 0,
@@ -445,7 +461,8 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
         matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                          mesh=mesh)
         statuses.append(matcher.status)
-        all_rows.append(Overlapper.get_overlap_rows(matcher.anchors(), cfg))
+        all_rows.append(Overlapper.get_overlap_rows(
+            matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])
@@ -478,8 +495,8 @@ def map_query_vs_target(query_parser: FastaParser,
             matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                              mesh=mesh)
             statuses.append(matcher.status)
-            all_rows.append(Overlapper.get_overlap_rows(matcher.anchors(),
-                                                        cfg))
+            all_rows.append(Overlapper.get_overlap_rows(
+                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])

@@ -189,13 +189,28 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
 
 @functools.partial(jax.jit, static_argnames=(
     "k", "min_residues", "min_overlap_len", "min_bases_per_residue",
-    "min_overlap_fraction_num", "min_overlap_fraction_den", "max_gap"))
+    "min_overlap_fraction_num", "min_overlap_fraction_den", "max_gap",
+    "pack2"))
 def chain_anchors(anchors: dict, k: int, min_residues: int,
                   min_overlap_len: int, min_bases_per_residue: int,
                   min_overlap_fraction_num: int,
-                  min_overlap_fraction_den: int, max_gap: int):
+                  min_overlap_fraction_den: int, max_gap: int,
+                  pack2: bool = False):
     """Triggered chaining.  Returns dict of (cap,) overlap field arrays with
-    a validity mask (compaction happens on host where the list is small)."""
+    a validity mask (compaction happens on host where the list is small).
+
+    pack2 (callers set it when read ids < 2^15 and positions < 2^16 — the
+    chunked common case): the whole 5-part lexicographic key compresses
+    into TWO uint32 words — (qid<<16 | tid<<1 | dir, qp<<16 | st16) where
+    st16 = tp for forward and 0xFFFF - tp for reverse strand (16-bit
+    complement = descending target order, exactly the signed -tp trick) —
+    so the dominant anchor sort runs 2 operands instead of 4.  Same-chain
+    deltas are preserved (st16 differences equal the signed st
+    differences), so the chain scan below is shared verbatim."""
+    if pack2:
+        return _chain_anchors_packed(
+            anchors, k, min_residues, min_overlap_len, min_bases_per_residue,
+            min_overlap_fraction_num, min_overlap_fraction_den, max_gap)
     v = anchors["valid"]
     qid = jnp.where(v, anchors["q_read"], I32MAX)
     tid = jnp.where(v, anchors["t_read"], I32MAX)
@@ -215,12 +230,60 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     d = jnp.where(v, dqp >> 30, I32MAX)
     qp = jnp.where(v, dqp & ((1 << 30) - 1), I32MAX)
     tp = jnp.where(d == 0, st, -st)        # garbage for invalid rows: masked
-    C = qid.shape[0]
-    idx = jnp.arange(C, dtype=jnp.int32)
-
+    idx = jnp.arange(qid.shape[0], dtype=jnp.int32)
     prev = lambda x: jnp.concatenate([x[:1], x[:-1]])  # noqa: E731
     same = ((qid == prev(qid)) & (tid == prev(tid)) & (d == prev(d))
             & (idx > 0))
+    return _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
+                       min_overlap_len, min_bases_per_residue,
+                       min_overlap_fraction_num, min_overlap_fraction_den,
+                       max_gap)
+
+
+def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
+                          min_bases_per_residue, min_overlap_fraction_num,
+                          min_overlap_fraction_den, max_gap):
+    """pack2 path of chain_anchors: 2-operand uint32 sort (see docstring)."""
+    UMAX = jnp.uint32(0xFFFFFFFF)
+    v = anchors["valid"]
+    qid32 = anchors["q_read"].astype(jnp.uint32)
+    tid32 = anchors["t_read"].astype(jnp.uint32)
+    d32 = anchors["dir"].astype(jnp.uint32)
+    tp32 = anchors["t_pos"].astype(jnp.uint32)
+    key1 = jnp.where(v, (qid32 << 16) | (tid32 << 1) | d32, UMAX)
+    st16 = jnp.where(anchors["dir"] == 1, jnp.uint32(0xFFFF) - tp32, tp32)
+    key2 = jnp.where(v, (anchors["q_pos"].astype(jnp.uint32) << 16) | st16,
+                     UMAX)
+    # all operands are keys and equal key pairs are fully identical
+    # anchors, so an unstable sort is bit-identical in effect
+    key1, key2 = jax.lax.sort((key1, key2), num_keys=2, is_stable=False)
+    v = key1 != UMAX
+    k1 = key1.astype(jnp.int32)            # valid keys are < 2^31
+    d = jnp.where(v, k1 & 1, I32MAX)
+    qid = jnp.where(v, k1 >> 16, I32MAX)
+    tid = jnp.where(v, (k1 >> 1) & 0x7FFF, I32MAX)
+    k2 = key2.astype(jnp.int32)
+    qp = jnp.where(v, (k2 >> 16) & 0xFFFF, I32MAX)
+    st = jnp.where(v, k2 & 0xFFFF, I32MAX)
+    tp = jnp.where(d == 1, 0xFFFF - st, st)  # garbage for invalid: masked
+    idx = jnp.arange(k1.shape[0], dtype=jnp.int32)
+    prev = lambda x: jnp.concatenate([x[:1], x[:-1]])  # noqa: E731
+    same = (key1 == prev(key1)) & (idx > 0)
+    return _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
+                       min_overlap_len, min_bases_per_residue,
+                       min_overlap_fraction_num, min_overlap_fraction_den,
+                       max_gap)
+
+
+def _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
+                min_overlap_len, min_bases_per_residue,
+                min_overlap_fraction_num, min_overlap_fraction_den, max_gap):
+    """Shared triggered-chain scan over (qid, tid, dir)-grouped, (qp, st)-
+    sorted anchors.  `st` must preserve same-chain deltas (signed -tp for
+    the unpacked path, 16-bit complement for pack2 — identical deltas)."""
+    C = qid.shape[0]
+    idx = jnp.arange(C, dtype=jnp.int32)
+    prev = lambda x: jnp.concatenate([x[:1], x[:-1]])  # noqa: E731
     dq = qp - prev(qp)
     dst = st - prev(st)
     cont = same & (dq > 0) & (dq <= max_gap) & (dst > 0) & (dst <= max_gap)

@@ -50,7 +50,9 @@ def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
             tidx = cache.get_or_create(parser, tf, tl, cfg)
             matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                              mesh=mesh)
-            overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg)
+            from ..models.mapper import _pack2_ok
+            overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg,
+                                               pack2=_pack2_ok(qidx, tidx))
             with open(os.path.join(work_dir, name + ".jsonl"), "w") as f:
                 for o in overlaps:
                     f.write(json.dumps(o.__dict__) + "\n")

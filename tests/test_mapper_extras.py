@@ -221,3 +221,49 @@ def test_match_expand_fill_matches_gather_reference(rng):
             np.testing.assert_array_equal(
                 g[valid], want[valid], err_msg=f"{name} trial {trial}")
         np.testing.assert_array_equal(np.asarray(got["valid"]), valid)
+
+
+def test_chain_anchors_pack2_bit_equal():
+    """pack2 (2-operand uint32 sort) must produce exactly the unpacked
+    path's valid overlap rows, including duplicate anchors and both
+    strands at the 15/16-bit boundary values."""
+    import jax.numpy as jnp
+    import numpy as np
+    from claragenomicsanalysis_tpu.ops import map_ops
+
+    rng = np.random.default_rng(42)
+    C = 4096
+    nq, nt, L = (1 << 15) - 1, (1 << 15) - 1, (1 << 16)
+    anchors = {
+        "q_read": rng.integers(0, nq, C, dtype=np.int32),
+        "t_read": rng.integers(0, nt, C, dtype=np.int32),
+        "q_pos": rng.integers(0, L, C, dtype=np.int32),
+        "t_pos": rng.integers(0, L, C, dtype=np.int32),
+        "dir": rng.integers(0, 2, C, dtype=np.int32),
+        "valid": rng.random(C) < 0.9,
+    }
+    # clustered anchors so real chains form
+    for s in range(0, C, 8):
+        anchors["q_read"][s:s+8] = anchors["q_read"][s]
+        anchors["t_read"][s:s+8] = anchors["t_read"][s]
+        anchors["dir"][s:s+8] = anchors["dir"][s]
+        base_q = int(anchors["q_pos"][s]) % (L - 200)
+        base_t = int(anchors["t_pos"][s]) % (L - 200)
+        step = rng.integers(1, 12, 8).cumsum()
+        anchors["q_pos"][s:s+8] = base_q + step
+        tstep = rng.integers(1, 12, 8).cumsum()
+        anchors["t_pos"][s:s+8] = np.where(
+            anchors["dir"][s] == 0, base_t + tstep, base_t + 200 - tstep)
+    # inject exact duplicates
+    anchors = {k: np.concatenate([v, v[:256]]) for k, v in anchors.items()}
+    ja = {k: jnp.asarray(v) for k, v in anchors.items()}
+    kw = dict(k=15, min_residues=2, min_overlap_len=10,
+              min_bases_per_residue=100, min_overlap_fraction_num=0,
+              min_overlap_fraction_den=1, max_gap=50)
+    outs = {}
+    for pack2 in (False, True):
+        o = map_ops.chain_anchors(ja, pack2=pack2, **kw)
+        rows, nv = map_ops.compact_overlaps(o)
+        outs[pack2] = np.asarray(rows)[:, :int(nv)]
+    assert outs[True].shape == outs[False].shape and outs[True].size > 0
+    np.testing.assert_array_equal(outs[True], outs[False])
