@@ -50,16 +50,52 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
     """
     B, Lk = rep.shape
     C = B * Lk
+    flat_rep = jnp.where(is_min, rep, INVALID).reshape(-1)
+    flat_dir = dirs.reshape(-1)
+    n_elems = jnp.sum(is_min).astype(jnp.int32)
+
+    if with_packed:
+        # the whole (read, pos, dir) payload fits ONE uint32 word under the
+        # with_packed precondition (local ids < 2^15, pos < 2^16), so the
+        # index sort runs 2 operands instead of 4.  (local, pos) is unique
+        # per element, so folding dir into the key and dropping stability
+        # are bit-identical to the (rep, rid, pos)-stable 4-operand sort.
+        local = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.uint32)[:, None], (B, Lk)).reshape(-1)
+        pos_w = jnp.broadcast_to(
+            jnp.arange(Lk, dtype=jnp.uint32)[None, :], (B, Lk)).reshape(-1)
+        word = ((local << 17) | (pos_w << 1)
+                | flat_dir.astype(jnp.uint32).reshape(-1))
+        srep, sword = jax.lax.sort((flat_rep, word), num_keys=2,
+                                   is_stable=False)
+        if not (filter_thr_num == 1 and filter_thr_den == 1):
+            lo = jnp.searchsorted(srep, srep, side="left")
+            hi = jnp.searchsorted(srep, srep, side="right")
+            cnt = (hi - lo).astype(jnp.int32)
+            keep = (cnt * filter_thr_den <= n_elems * filter_thr_num) & \
+                   (srep != INVALID)
+            srep = jnp.where(keep, srep, INVALID)
+            srep, sword = jax.lax.sort((srep, sword), num_keys=2,
+                                       is_stable=False)
+            n_elems = jnp.sum(keep).astype(jnp.int32)
+        slocal = sword >> 17
+        spos = ((sword >> 1) & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        sdir = (sword & 1).astype(jnp.int32)
+        return {"rep": srep,
+                "read_id": first_read_id + slocal.astype(jnp.int32),
+                "pos": spos, "dir": sdir, "n_elems": n_elems,
+                # matcher side-array layout: (dir<<31 | local<<16 | pos)
+                "packed": ((sword & 1) << 31) | (slocal << 16)
+                          | spos.astype(jnp.uint32),
+                "first_read": jnp.asarray(first_read_id, jnp.int32)}
+
     rid = (first_read_id + jnp.arange(B, dtype=jnp.int32))[:, None]
     rid = jnp.broadcast_to(rid, (B, Lk)).reshape(-1)
     pos = jnp.broadcast_to(jnp.arange(Lk, dtype=jnp.int32)[None, :],
                            (B, Lk)).reshape(-1)
-    flat_rep = jnp.where(is_min, rep, INVALID).reshape(-1)
-    flat_dir = dirs.reshape(-1)
 
     srep, srid, spos, sdir = jax.lax.sort(
         (flat_rep, rid, pos, flat_dir), num_keys=3, is_stable=True)
-    n_elems = jnp.sum(is_min).astype(jnp.int32)
 
     if not (filter_thr_num == 1 and filter_thr_den == 1):
         lo = jnp.searchsorted(srep, srep, side="left")
@@ -72,14 +108,8 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             (srep, srid, spos, sdir), num_keys=3, is_stable=True)
         n_elems = jnp.sum(keep).astype(jnp.int32)
 
-    out = {"rep": srep, "read_id": srid, "pos": spos, "dir": sdir,
-           "n_elems": n_elems}
-    if with_packed:
-        local = (srid - first_read_id).astype(jnp.uint32)
-        out["packed"] = ((sdir.astype(jnp.uint32) << 31)
-                         | (local << 16) | spos.astype(jnp.uint32))
-        out["first_read"] = jnp.asarray(first_read_id, jnp.int32)
-    return out
+    return {"rep": srep, "read_id": srid, "pos": spos, "dir": sdir,
+            "n_elems": n_elems}
 
 
 @jax.jit

@@ -267,3 +267,40 @@ def test_chain_anchors_pack2_bit_equal():
         outs[pack2] = np.asarray(rows)[:, :int(nv)]
     assert outs[True].shape == outs[False].shape and outs[True].size > 0
     np.testing.assert_array_equal(outs[True], outs[False])
+
+
+def test_build_index_packed_sort_bit_equal():
+    """The 2-operand packed index sort must reproduce the 4-operand
+    stable sort's arrays exactly (incl. the frequency-filtered path)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from claragenomicsanalysis_tpu.ops import map_ops
+    from claragenomicsanalysis_tpu.ops.sketch import INVALID
+
+    rng = np.random.default_rng(7)
+    B, Lk = 32, 256
+    rep = rng.integers(0, 50, (B, Lk), dtype=np.uint32)  # many duplicates
+    dirs = rng.integers(0, 2, (B, Lk), dtype=np.int32)
+    is_min = rng.random((B, Lk)) < 0.3
+    for fnum, fden in ((1, 1), (1, 100)):
+        a = map_ops.build_index(jnp.asarray(rep), jnp.asarray(dirs),
+                                jnp.asarray(is_min), jnp.int32(5),
+                                filter_thr_num=fnum, filter_thr_den=fden,
+                                with_packed=False)
+        b = map_ops.build_index(jnp.asarray(rep), jnp.asarray(dirs),
+                                jnp.asarray(is_min), jnp.int32(5),
+                                filter_thr_num=fnum, filter_thr_den=fden,
+                                with_packed=True)
+        n = int(a["n_elems"])
+        assert n == int(b["n_elems"])
+        for f in ("rep", "read_id", "pos", "dir"):
+            np.testing.assert_array_equal(
+                np.asarray(a[f])[:n], np.asarray(b[f])[:n], err_msg=f)
+        pk = np.asarray(b["packed"])[:n]
+        np.testing.assert_array_equal((pk >> 31).astype(np.int32),
+                                      np.asarray(b["dir"])[:n])
+        np.testing.assert_array_equal(
+            ((pk >> 16) & 0x7FFF).astype(np.int32) + 5,
+            np.asarray(b["read_id"])[:n])
+        np.testing.assert_array_equal((pk & 0xFFFF).astype(np.int32),
+                                      np.asarray(b["pos"])[:n])
