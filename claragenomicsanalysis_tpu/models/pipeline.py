@@ -41,7 +41,6 @@ def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
                        - o.target_start_position_in_read)
                 <= cfg.max_alignment_length]
 
-    max_len = 1
     spans = []
     for o in overlaps:
         q = parser.get_sequence_by_id(o.query_read_id).seq[
@@ -51,28 +50,36 @@ def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
         if o.relative_strand == "-":
             t = reverse_complement(t)
         spans.append((q, t))
-        max_len = max(max_len, len(q), len(t))
-    # pow2 bucket: one XLA executable serves many runs (the repo-wide
-    # static-shape discipline; a raw data-dependent max_len would compile a
-    # fresh program per input)
-    max_len = max(64, 1 << (max_len - 1).bit_length())
+
+    # group spans by their own pow2 length bucket instead of padding every
+    # batch to the GLOBAL max: a mixed-length overlap set then aligns each
+    # bucket at its natural padded size (the DP cost is quadratic-ish in
+    # the pad length, so short spans no longer pay the longest span's
+    # matrix).  pow2 buckets keep the executable count bounded; output
+    # order is restored by index so results are unchanged.
+    buckets: dict[int, list[int]] = {}
+    for i, (q, t) in enumerate(spans):
+        b = max(64, 1 << (max(len(q), len(t), 1) - 1).bit_length())
+        buckets.setdefault(b, []).append(i)
 
     n_fail = 0
     with trace_range("pipeline.align"):
-        for start in range(0, len(spans), batch_size):
-            chunk = spans[start:start + batch_size]
-            aligner = create_aligner(
-                max_len, max_len, len(chunk),
-                band_radius=min(cfg.aligner_band_radius, max_len),
-                algorithm="myers")
-            for q, t in chunk:
-                aligner.add_alignment(q, t)
-            for o, a in zip(overlaps[start:start + batch_size],
-                            aligner.get_alignments()):
-                if a.status == StatusType.SUCCESS:
-                    o.cigar = a.convert_to_cigar()
-                else:
-                    n_fail += 1
+        for blen in sorted(buckets):
+            idxs = buckets[blen]
+            for start in range(0, len(idxs), batch_size):
+                chunk_ids = idxs[start:start + batch_size]
+                aligner = create_aligner(
+                    blen, blen, len(chunk_ids),
+                    band_radius=min(cfg.aligner_band_radius, blen),
+                    algorithm="myers")
+                for i in chunk_ids:
+                    q, t = spans[i]
+                    aligner.add_alignment(q, t)
+                for i, a in zip(chunk_ids, aligner.get_alignments()):
+                    if a.status == StatusType.SUCCESS:
+                        overlaps[i].cigar = a.convert_to_cigar()
+                    else:
+                        n_fail += 1
 
     rows = []
     for o in overlaps:
