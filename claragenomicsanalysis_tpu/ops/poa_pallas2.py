@@ -25,8 +25,10 @@ models/poa._graph_scan):
 - topsort / consensus: lockstep kernels too (the on-chip bisection showed
   the XLA versions' gathers/argsort/walk dominating the batch at ~900 ms
   of 1186 ms) — monotone Gauss-Seidel v-sweeps for levels/scores, a
-  lockstep counting sort, and a lockstep backtrack walk.  MSA columns
-  stay the vmapped XLA program (not on the consensus hot path).
+  lockstep counting sort, and a lockstep backtrack walk.
+- MSA: lockstep column assignment (sequential over rank, clique gathers
+  as plane reduces) + per-sequence gapped-row emission on a grid dim, so
+  the whole v2 pipeline is Pallas end to end.
 
 Phases are bit-identical to ops/poa_ops.py (the executable spec is
 cpu/poa_oracle.py) and asserted so by tests/test_poa_pallas2.py.
@@ -1122,6 +1124,156 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
 
 
 # --------------------------------------------------------------------------
+# Kernel 5: MSA column assignment + gapped rows, lockstep over windows
+# (semantics: poa_ops.msa_columns + msa_rows; reference:
+# cudapoa_generate_msa.cuh [U]).
+#
+# Columns: sequential over rank r (u = order[r] is a direct sublane-row
+# read), lockstep over windows.  The clique gather (u's aligned members,
+# their preds' columns) is ~50 (N, W) masked reduces per step — the same
+# plane idiom as the add kernel, so 128 windows pay together what one
+# window's XLA gather chain costs.  Rows: grid dim s walks the per-
+# sequence paths; each path step is one column gather + one masked
+# row-plane write.  col lives in scratch across the s-steps of a window
+# block (computed once at s == 0), so the whole phase is one kernel and
+# col never round-trips HBM.
+# --------------------------------------------------------------------------
+
+def _build_msa_kernel(bs: BatchSize):
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    A = bs.max_aligned_per_node
+    L = bs.padded_seq
+
+    def kernel(orderT, npredT, naligT, baseT, predT, aligT, pathsT, meta,
+               rowsT, meta_out, colT):
+        W = npredT.shape[-1]
+        s = pl.program_id(1)
+        iN = _siota(N, W)
+        ncr = meta[pl.ds(0, 1)]
+        act = iN < ncr
+
+        @pl.when(s == 0)
+        def _columns():
+            colT[...] = jnp.full((N, W), -1, jnp.int32)
+
+            def rstep(r, _):
+                u = orderT[pl.ds(r, 1)]               # (1, W), in [0, N)
+                m_u = _eqmask(N, u)
+                unassigned = _gather(colT[...], m_u) < 0
+                nal = _gather(naligT[...], m_u)
+                do = (r < ncr) & unassigned
+                # group = u + its aligned clique; column = 1 + max over
+                # all members' preds' columns (invalid slots -> -1)
+                members = [(u, jnp.ones((1, W), jnp.bool_))]
+                for a in range(A):
+                    members.append((_gather(aligT[a], m_u), a < nal))
+                c = jnp.full((1, W), -1, jnp.int32)
+                for mem, ok_m in members:
+                    in_rng = (mem >= 0) & (mem < N)
+                    m_m = _eqmask(N, jnp.clip(mem, 0, N - 1))
+                    np_m = jnp.where(in_rng, _gather(npredT[...], m_m), 0)
+                    for p in range(P):
+                        gp = jnp.where(in_rng, _gather(predT[p], m_m), -1)
+                        pok = ok_m & (p < np_m)
+                        gp_rng = (gp >= 0) & (gp < N)
+                        m_gp = _eqmask(N, jnp.clip(gp, 0, N - 1))
+                        pc = jnp.where(gp_rng, _gather(colT[...], m_gp), -1)
+                        c = jnp.maximum(c, jnp.where(pok, pc, -1))
+                c = c + 1
+                for mem, ok_m in members:
+                    wmask = ok_m & do & (mem >= 0)
+                    m_m = _eqmask(N, jnp.clip(mem, 0, N - 1))
+                    colT[...] = jnp.where(
+                        m_m & wmask, jnp.broadcast_to(c, (N, W)), colT[...])
+                return ()
+
+            jax.lax.fori_loop(0, N, rstep, ())
+
+        # n_cols (recomputed every s-step from the persistent scratch —
+        # idempotent, keeps the output block defined on every visit)
+        ncols = jnp.max(jnp.where(act, colT[...], -1), axis=0,
+                        keepdims=True) + 1
+        mo = jnp.zeros((8, W), jnp.int32)
+        mo = jnp.where(_siota(8, W) == 0, jnp.broadcast_to(ncols, (8, W)),
+                       mo)
+        meta_out[...] = mo
+
+        # gapped row for sequence s: row[col[path[j]]] = base[path[j]]
+        rowsT[0] = jnp.full((N, W), -1, jnp.int32)
+
+        def jstep(j, _):
+            pn = pathsT[0, pl.ds(j, 1), :]            # (1, W)
+            pn_ok = pn >= 0
+            m_pn = _eqmask(N, jnp.clip(pn, 0, N - 1))
+            c = jnp.where(pn_ok, _gather(colT[...], m_pn), -1)
+            b = _gather(baseT[...], m_pn)
+            c_ok = pn_ok & (c >= 0) & (c < N)
+            m_c = _eqmask(N, jnp.clip(c, 0, N - 1))
+            rowsT[0] = jnp.where(m_c & c_ok, jnp.broadcast_to(b, (N, W)),
+                                 rowsT[0])
+            return ()
+
+        jax.lax.fori_loop(0, L, jstep, ())
+
+    return kernel, dict(N=N, P=P, A=A, L=L)
+
+
+def _msa_pallas(bs: BatchSize, interpret: bool, state, order):
+    """Lockstep MSA over all windows.  Returns (rows (W, S, NP), n_cols
+    (W,)) matching vmapped poa_ops.msa_columns + msa_rows(max_cols=NP)."""
+    W = order.shape[0]
+    S = state.paths.shape[1]
+    kernel, d = _build_msa_kernel(bs)
+    N, P, A, L = d["N"], d["P"], d["A"], d["L"]
+    LANES = 128
+    Wp = round_up(W, LANES)
+
+    def t2(x, rows, fill=0):
+        x = jnp.transpose(x.astype(jnp.int32))
+        return jnp.pad(x, ((0, rows - x.shape[0]), (0, Wp - W)),
+                       constant_values=fill)
+
+    def t3(x, fill=0):
+        x = jnp.transpose(x.astype(jnp.int32), (2, 1, 0))
+        return jnp.pad(x, ((0, 0), (0, N - x.shape[1]), (0, Wp - W)),
+                       constant_values=fill)
+
+    pathsT = jnp.transpose(state.paths.astype(jnp.int32), (1, 2, 0))
+    pathsT = jnp.pad(pathsT, ((0, 0), (0, 0), (0, Wp - W)),
+                     constant_values=-1)
+    meta = jnp.zeros((8, Wp), jnp.int32)
+    meta = meta.at[0, :W].set(state.node_count.astype(jnp.int32))
+
+    def spec(*shape):
+        return pl.BlockSpec(shape + (LANES,),
+                            lambda w, s: (0,) * len(shape) + (w,),
+                            memory_space=pltpu.VMEM)
+
+    def sspec(rows):
+        return pl.BlockSpec((1, rows, LANES), lambda w, s: (s, 0, w),
+                            memory_space=pltpu.VMEM)
+
+    rowsT, meta_out = pl.pallas_call(
+        kernel,
+        grid=(Wp // LANES, S),
+        in_specs=[spec(N), spec(N), spec(N), spec(N), spec(P, N),
+                  spec(A, N), sspec(L), spec(8)],
+        out_specs=(sspec(N), spec(8)),
+        out_shape=(jax.ShapeDtypeStruct((S, N, Wp), jnp.int32),
+                   jax.ShapeDtypeStruct((8, Wp), jnp.int32)),
+        scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32)],
+        interpret=interpret,
+    )(t2(order, N), t2(state.npred, N), t2(state.nalig, N),
+      t2(state.base, N, -1), t3(state.pred, -1), t3(state.alig, -1),
+      pathsT, meta)
+
+    NP = state.pred.shape[1]
+    rows = jnp.transpose(rowsT, (2, 0, 1))[:W, :, :NP]
+    return rows, meta_out[0, :W]
+
+
+# --------------------------------------------------------------------------
 # Orchestrator: the per-sequence pipeline of models/poa._graph_scan with
 # the hot phases swapped to the lockstep kernels.  `phases` selects which
 # phases run as Pallas kernels (the rest stay vmapped poa_ops XLA) — the
@@ -1135,7 +1287,7 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
                       sc: PoaScores, banded: bool = False, msa: bool = False,
                       interpret: bool = False,
                       phases: tuple = ("nwtb", "add", "topsort",
-                                       "consensus"),
+                                       "consensus", "msa"),
                       WPG: int = 8, moves_tb: bool = True):
     """Same contract as models/poa._build_program(bs, sc, msa, banded):
     returns (codes (W, MC), covs (W, MC), length (W,), rows (W, S, MCOL),
@@ -1231,7 +1383,9 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
         codes, covs, length = jax.vmap(
             lambda st, o, r: poa_ops.consensus(st, o, r, MC))(
             state, order, rank)
-    if msa:
+    if msa and "msa" in phases:
+        rows, n_cols = _msa_pallas(bs, interpret, state, order)
+    elif msa:
         col, n_cols = jax.vmap(poa_ops.msa_columns)(state, order, rank)
         rows = jax.vmap(
             lambda st, c, n: poa_ops.msa_rows(st, c, n, N))(

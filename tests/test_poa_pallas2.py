@@ -83,6 +83,24 @@ def test_v2_msa_matches_xla():
     assert_tuple_equal(got, want)
 
 
+def test_v2_msa_kernel_matches_xla():
+    """The lockstep MSA kernel (phases includes 'msa') must reproduce the
+    vmapped XLA msa_columns/msa_rows bit-for-bit, including uneven
+    window fill and padding sequences."""
+    bs, sc = BS_SMALL, PoaScores()
+    args = make_batch(bs, W=5, S=4, base_len=38, n_mut=6, seed=11)
+    # unevenly-filled windows: drop sequences from some windows
+    seqs, weights, lens, n_seqs = args
+    n_seqs = n_seqs.copy()
+    n_seqs[1] = 2
+    n_seqs[3] = 1
+    args = (seqs, weights, lens, n_seqs)
+    want = xla_reference(bs, sc, True, False, args)
+    got = run_v2(bs, sc, True, False, args,
+                 ("nwtb", "add", "topsort", "consensus", "msa"))
+    assert_tuple_equal(got, want)
+
+
 def test_v2_banded_matches_xla():
     bs = BatchSize(max_sequence_size=48, max_sequences_per_poa=4,
                    max_pred_per_node=4, max_aligned_per_node=4,
