@@ -26,6 +26,13 @@ def main():
                        max_pred_per_node=4, max_aligned_per_node=4,
                        max_nodes_per_window=1024)
         blen = 480
+    elif "--pileup" in sys.argv:
+        # correction-shaped: models/correct.py's window config (S = 16
+        # supporting segments, P = S so every branch can be tracked)
+        bs = BatchSize(max_sequence_size=256, max_sequences_per_poa=16,
+                       max_pred_per_node=16, max_aligned_per_node=8,
+                       max_nodes_per_window=512)
+        blen = 250
     else:
         bs = BatchSize(max_sequence_size=128, max_sequences_per_poa=8,
                        max_pred_per_node=4, max_aligned_per_node=4,

@@ -101,6 +101,20 @@ def test_v2_msa_kernel_matches_xla():
     assert_tuple_equal(got, want)
 
 
+def test_v2_wide_pred_config_matches_xla():
+    """Correction-shaped windows use P = S (models/correct.py); every v2
+    kernel unrolls over P, so P > 4 needs its own bit-equality check."""
+    bs = BatchSize(max_sequence_size=32, max_sequences_per_poa=6,
+                   max_pred_per_node=8, max_aligned_per_node=4,
+                   max_nodes_per_window=64)
+    sc = PoaScores()
+    args = make_batch(bs, W=3, S=6, base_len=26, n_mut=5, seed=17)
+    want = xla_reference(bs, sc, True, False, args)
+    got = run_v2(bs, sc, True, False, args,
+                 ("nwtb", "add", "topsort", "consensus", "msa"))
+    assert_tuple_equal(got, want)
+
+
 def test_v2_banded_matches_xla():
     bs = BatchSize(max_sequence_size=48, max_sequences_per_poa=4,
                    max_pred_per_node=4, max_aligned_per_node=4,
