@@ -19,6 +19,9 @@ echo "== multi-chip dryrun (8 virtual devices) =="
 XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
     python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
+echo "== API docs current =="
+python scripts/gen_api_docs.py --check
+
 echo "== entry compile check =="
 JAX_PLATFORMS=cpu python - <<'EOF'
 import jax
