@@ -179,6 +179,21 @@ def test_topsort_pallas_matches_xla_on_evolved_state():
             state, pn, pp, seq, w_, k0)
 
 
+def test_v2_multiblock_window_axis():
+    """W > 128 spans two lane blocks on the lockstep kernels' grid; the
+    scratch column/level planes are per-block and must not leak between
+    blocks.  nwtb/add run as XLA to keep interpret time sane — topsort,
+    consensus and MSA are the kernels whose grids tile the window axis."""
+    bs = BatchSize(max_sequence_size=16, max_sequences_per_poa=3,
+                   max_pred_per_node=4, max_aligned_per_node=4,
+                   max_nodes_per_window=32)
+    sc = PoaScores()
+    args = make_batch(bs, W=131, S=3, base_len=12, n_mut=2, seed=29)
+    want = xla_reference(bs, sc, True, False, args)
+    got = run_v2(bs, sc, True, False, args, ("topsort", "consensus", "msa"))
+    assert_tuple_equal(got, want)
+
+
 def test_v2_short_and_uneven_windows():
     bs, sc = BS_SMALL, PoaScores()
     seqs, weights, lens, n_seqs = make_batch(bs, W=5, S=4, base_len=40,
