@@ -198,7 +198,8 @@ def cmd_correct(args) -> int:
     cfg = CorrectConfig(mapper=_mapper_cfg(args),
                         window_length=args.window_length,
                         max_support=args.max_support,
-                        aligner_band_radius=args.band_radius)
+                        aligner_band_radius=args.band_radius,
+                        poa_backend=args.poa_backend)
     res = correct_reads(parser, cfg, mesh=_cli_mesh(args),
                         work_dir=args.work_dir or None)
     if args.output:
@@ -321,6 +322,10 @@ def main(argv=None) -> int:
                     help="per-overlap re-alignment band radius")
     co.add_argument("--work-dir", default="",
                     help="checkpoint dir: run resumes after a crash")
+    co.add_argument("--poa-backend", default="auto",
+                    choices=("auto", "xla", "pallas", "pallas2"),
+                    help="POA kernel for the polish stage (bit-identical; "
+                         "perf knob)")
     co.add_argument("-o", "--output", default="",
                     help="corrected FASTA path (default: stdout)")
     co.add_argument("-d", "--devices", type=int, default=1,

@@ -143,3 +143,6 @@ class CorrectConfig:
     # every disagreeing column is a 1-vs-1 tie decided by tie-break order,
     # which averages errors in rather than out
     min_supports_for_poa: int = 2
+    # POA kernel backend for the polish stage ("auto" | "xla" | "pallas" |
+    # "pallas2"); all are bit-identical, so this is a pure perf knob
+    poa_backend: str = "auto"

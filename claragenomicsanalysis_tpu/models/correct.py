@@ -172,7 +172,8 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
     n_failed = 0
     for start in range(0, len(jobs), windows_per_dispatch):
         chunk = jobs[start:start + windows_per_dispatch]
-        batch = create_batch(batch_size=bs, max_poas=len(chunk), mesh=mesh)
+        batch = create_batch(batch_size=bs, max_poas=len(chunk), mesh=mesh,
+                             backend=cfg.poa_backend)
         for seqs in chunk:
             batch.add_poa_group(seqs)
         cons, _, stats = batch.get_consensus()
