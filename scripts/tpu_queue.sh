@@ -1,0 +1,21 @@
+#!/bin/bash
+# One-shot TPU measurement queue: run everything that needs the chip, in
+# dependency order, logging to bench_logs/.  Fire this the moment the
+# axon tunnel comes back after an outage.
+set -u
+cd "$(dirname "$0")/.."
+mkdir -p bench_logs
+ts=$(date +%m%d_%H%M)
+
+run() {
+  name=$1; shift
+  echo "== $name == ($(date +%H:%M:%S))"
+  timeout 2400 "$@" 2>&1 | tail -30 | tee "bench_logs/${ts}_${name}.log"
+}
+
+run poa_v2_small  python scripts/bench_poa_v2.py
+run poa_v2_pileup python scripts/bench_poa_v2.py --pileup
+run poa_v2_msa    python scripts/bench_poa_v2.py --msa
+run bench_all     python scripts/bench_all.py
+run headline      python bench.py
+echo "queue done ($(date +%H:%M:%S)); logs in bench_logs/${ts}_*.log"
