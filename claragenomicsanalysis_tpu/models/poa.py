@@ -179,49 +179,48 @@ class Batch:
                 lens[wi, si] = len(s)
         return seqs, weights, lens, n_seqs
 
+    def _window_program(self, msa: bool):
+        """The window-batch program for the selected backend — a callable
+        (seqs, weights, lens, n_seqs) -> output tuple.  All backends are
+        bit-identical (asserted by tests); selection is a perf knob."""
+        import functools
+        from ..ops.nw_band_pallas import pallas_available
+        from ..ops.poa_pallas import smem_bytes_per_window
+        if self.backend == "pallas2":
+            # lockstep-over-windows POA v2 (ops/poa_pallas2.py) — windows
+            # on the lane axis for the graph-mutation phases
+            from ..ops.poa_pallas2 import poa_batch_pallas2
+            return functools.partial(
+                poa_batch_pallas2, bs=self.batch_size, sc=self.scores,
+                banded=self.banded_alignment, msa=msa,
+                interpret=not pallas_available())
+        fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
+                and self.batch_size.max_sequences_per_poa < 128)
+        if (self.backend == "pallas"
+                or (self.backend == "auto" and pallas_available() and fits)):
+            # full in-kernel POA (ops/poa_pallas.py) — bit-identical to
+            # the XLA program by the oracle contract
+            from ..ops.poa_pallas import poa_batch_pallas
+            return functools.partial(
+                poa_batch_pallas, bs=self.batch_size, sc=self.scores,
+                banded=self.banded_alignment, msa=msa,
+                interpret=not pallas_available())
+        return _build_program(self.batch_size, self.scores, msa,
+                              self.banded_alignment)
+
     def _generate(self, bs, S, L, W) -> None:
         seqs, weights, lens, n_seqs = self._pack_arrays(bs, S, L, W)
         msa = bool(self.output_mask & OutputType.MSA)
+        program = self._window_program(msa)
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             # window dim sharded over the mesh 'data' axis; merging is
             # concatenation so N-device == 1-device bit-for-bit
             from ..parallel.shard import sharded_poa
-            program = _build_program(self.batch_size, self.scores, msa,
-                                     self.banded_alignment)
             self._out = tuple(np.asarray(o) for o in sharded_poa(
                 program, seqs, weights, lens, n_seqs, self.mesh))
             return
-        from ..ops.nw_band_pallas import pallas_available
-        from ..ops.poa_pallas import smem_bytes_per_window
-        fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
-                and self.batch_size.max_sequences_per_poa < 128)
-        if self.backend == "pallas2":
-            # lockstep-over-windows POA v2 (ops/poa_pallas2.py) — windows on
-            # the lane axis for the graph-mutation phases; same contract
-            from ..ops.poa_pallas2 import poa_batch_pallas2
-            out = poa_batch_pallas2(
-                jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
-                jnp.asarray(n_seqs), self.batch_size, self.scores,
-                banded=self.banded_alignment, msa=msa,
-                interpret=not pallas_available())
-            self._out = tuple(np.asarray(o) for o in out)
-            return
-        use_pallas = (self.backend == "pallas"
-                      or (self.backend == "auto" and pallas_available()
-                          and fits))
-        if use_pallas:
-            # full in-kernel POA (ops/poa_pallas.py) — bit-identical to the
-            # XLA program by the oracle contract
-            from ..ops.poa_pallas import poa_batch_pallas
-            out = poa_batch_pallas(
-                jnp.asarray(seqs), jnp.asarray(weights), jnp.asarray(lens),
-                jnp.asarray(n_seqs), self.batch_size, self.scores,
-                banded=self.banded_alignment, msa=msa)
-        else:
-            program = _build_program(self.batch_size, self.scores, msa,
-                                     self.banded_alignment)
-            out = program(jnp.asarray(seqs), jnp.asarray(weights),
-                          jnp.asarray(lens), jnp.asarray(n_seqs))
+        out = program(jnp.asarray(seqs), jnp.asarray(weights),
+                      jnp.asarray(lens), jnp.asarray(n_seqs))
         self._out = tuple(np.asarray(o) for o in out)
 
     def _ensure(self):

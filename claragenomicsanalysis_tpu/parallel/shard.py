@@ -54,8 +54,10 @@ def sharded_banded_nw(q, qlen, t, tlen, band_radius: int, mesh: Mesh):
 
 
 def sharded_poa(program, seqs, weights, lens, n_seqs, mesh: Mesh):
-    """Data-parallel POA: window dim split over 'data'.  `program` is the
-    jitted vmapped window program from models.poa._build_program."""
+    """Data-parallel POA: window dim split over 'data' via shard_map —
+    each device runs `program` (the XLA window program OR a Pallas kernel
+    backend from models.poa._window_program) on its local window slice.
+    Merging is concatenation, so N-device == 1-device bit-for-bit."""
     n_data = mesh.shape["data"]
     W = seqs.shape[0]
     Wp = round_up(W, n_data)
@@ -66,11 +68,13 @@ def sharded_poa(program, seqs, weights, lens, n_seqs, mesh: Mesh):
         return np.concatenate(
             [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
 
-    sh = _dp_sharding(mesh)
-    out = program(jax.device_put(padw(seqs, -1), sh),
-                  jax.device_put(padw(weights, 0), sh),
-                  jax.device_put(padw(lens, 0), sh),
-                  jax.device_put(padw(n_seqs, 0), sh))
+    fn = jax.jit(shard_map(
+        program, mesh=mesh,
+        in_specs=(P(("data",)), P(("data",)), P(("data",)), P(("data",))),
+        out_specs=P(("data",)),
+        check_vma=False))  # windows are independent; outputs shard cleanly
+    out = fn(padw(seqs, -1), padw(weights, 0), padw(lens, 0),
+             padw(n_seqs, 0))
     return tuple(np.asarray(o)[:W] for o in out)
 
 

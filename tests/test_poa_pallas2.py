@@ -179,6 +179,35 @@ def test_topsort_pallas_matches_xla_on_evolved_state():
             state, pn, pp, seq, w_, k0)
 
 
+def test_v2_backend_under_mesh_bit_identical():
+    """backend="pallas2" with a data-sharded mesh (8 fake devices) must
+    equal the 1-device pallas2 run and the XLA backend — sharded_poa now
+    runs the selected kernel program inside shard_map."""
+    from claragenomicsanalysis_tpu.core.status import OutputType
+    from claragenomicsanalysis_tpu.models.poa import create_batch
+    from claragenomicsanalysis_tpu.parallel import make_mesh
+    rng = np.random.default_rng(31)
+    windows = []
+    for _ in range(5):
+        base = generate_random_genome(40, rng)
+        windows.append([mutate_sequence(base, 4, rng) for _ in range(4)])
+    outs = {}
+    for name, kw in (("xla", dict(backend="xla")),
+                     ("p2", dict(backend="pallas2")),
+                     ("p2mesh", dict(backend="pallas2", mesh=make_mesh()))):
+        b = create_batch(batch_size=BS_SMALL,
+                         output_mask=OutputType.CONSENSUS | OutputType.MSA,
+                         **kw)
+        for w in windows:
+            b.add_poa_group(w)
+        b.generate_poa()
+        cons, covs, st = b.get_consensus()
+        msa, mst = b.get_msa()
+        outs[name] = (cons, covs, st, msa, mst)
+    assert outs["p2"] == outs["xla"]
+    assert outs["p2mesh"] == outs["xla"]
+
+
 def test_v2_multiblock_window_axis():
     """W > 128 spans two lane blocks on the lockstep kernels' grid; the
     scratch column/level planes are per-block and must not leak between
