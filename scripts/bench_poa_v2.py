@@ -62,10 +62,15 @@ def main():
     N = bs.padded_nodes
     cells = W * (S - 1) * N * (bs.padded_seq + 1)
 
-    for name, program in [
+    variants = [
         ("v1", functools.partial(poa_batch_pallas, bs=bs, sc=sc, msa=msa)),
         ("v2", functools.partial(poa_batch_pallas2, bs=bs, sc=sc, msa=msa)),
-    ]:
+    ]
+    if "--probe-tb" in sys.argv:
+        variants.append(
+            ("v2-probe", functools.partial(poa_batch_pallas2, bs=bs, sc=sc,
+                                           msa=msa, moves_tb=False)))
+    for name, program in variants:
         fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
         dt = time_scanned(fn, datasets, loops=2)
         print(json.dumps({

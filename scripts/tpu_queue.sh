@@ -13,7 +13,7 @@ run() {
   timeout 2400 "$@" 2>&1 | tail -30 | tee "bench_logs/${ts}_${name}.log"
 }
 
-run poa_v2_small  python scripts/bench_poa_v2.py
+run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
 run poa_v2_pileup python scripts/bench_poa_v2.py --pileup
 run poa_v2_msa    python scripts/bench_poa_v2.py --msa
 run bench_all     python scripts/bench_all.py
