@@ -30,3 +30,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop JAX's in-memory executable caches after each test module.
+
+    The full suite accumulates hundreds of live compiled executables in one
+    process; past ~a-full-run's worth, jaxlib 0.9's CPU client segfaults
+    inside a later XLA compile (observed deterministically in
+    test_samples' matcher compile when the POA v2 suite grew).  Clearing
+    per module keeps the live set small; the persistent .jax_cache keeps
+    re-compiles cheap (deserialize, not rebuild)."""
+    yield
+    jax.clear_caches()
