@@ -1273,6 +1273,26 @@ def _msa_pallas(bs: BatchSize, interpret: bool, state, order):
     return rows, meta_out[0, :W]
 
 
+def vmem_bytes_estimate(bs: BatchSize, msa: bool = False) -> int:
+    """Peak VMEM one grid step of the fattest v2 kernel needs (the add
+    kernel holds every state plane twice — input + aliased output — plus
+    the path columns; the NW kernel holds two (N+3, WPG, L1) score/moves
+    tensors).  models/poa routes configs that cannot fit the ~16 MiB/core
+    VMEM away from this backend: P scales the plane count linearly, so
+    correction-shaped windows (P = S = 16, N ~ 3*window) do not fit."""
+    N = round_up(bs.padded_nodes, 8)
+    P = bs.max_pred_per_node
+    A = bs.max_aligned_per_node
+    L = bs.padded_seq
+    L1 = round_up(L + 1, 128)
+    TLS = round_up(N + L, 128)
+    W = 128
+    add_bytes = 4 * W * (N * (2 * (5 + 2 * P + A) + 2)   # planes, in+out
+                         + 4 * L + 2 * TLS + 16)         # seq/w/paths/pn/pp
+    nwtb_bytes = 2 * 4 * (N + 3) * 8 * L1                # scores + moves
+    return max(add_bytes, nwtb_bytes)
+
+
 # --------------------------------------------------------------------------
 # Orchestrator: the per-sequence pipeline of models/poa._graph_scan with
 # the hot phases swapped to the lockstep kernels.  `phases` selects which

@@ -16,7 +16,8 @@ def main():
     from claragenomicsanalysis_tpu.bench.harness import time_scanned
     from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
     from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
-    from claragenomicsanalysis_tpu.ops.poa_pallas2 import poa_batch_pallas2
+    from claragenomicsanalysis_tpu.ops.poa_pallas2 import (
+        poa_batch_pallas2, vmem_bytes_estimate)
     from claragenomicsanalysis_tpu.utils.genomeutils import (
         encode, generate_random_genome, mutate_sequence)
 
@@ -71,6 +72,11 @@ def main():
             ("v2-probe", functools.partial(poa_batch_pallas2, bs=bs, sc=sc,
                                            msa=msa, moves_tb=False)))
     for name, program in variants:
+        if name.startswith("v2") and vmem_bytes_estimate(bs, msa) > 14 * 2**20:
+            print(json.dumps({
+                "kernel": name, "skipped": "plane layout exceeds VMEM",
+                "MiB": vmem_bytes_estimate(bs, msa) >> 20}), flush=True)
+            continue
         fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
         dt = time_scanned(fn, datasets, loops=2)
         print(json.dumps({
