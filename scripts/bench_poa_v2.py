@@ -71,6 +71,11 @@ def main():
         variants.append(
             ("v2-probe", functools.partial(poa_batch_pallas2, bs=bs, sc=sc,
                                            msa=msa, moves_tb=False)))
+    if "--wpg" in sys.argv:
+        for wpg in (1, 2, 4, 16):
+            variants.append(
+                (f"v2-wpg{wpg}", functools.partial(
+                    poa_batch_pallas2, bs=bs, sc=sc, msa=msa, WPG=wpg)))
     for name, program in variants:
         if name.startswith("v2") and vmem_bytes_estimate(bs, msa) > 14 * 2**20:
             print(json.dumps({
