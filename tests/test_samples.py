@@ -41,6 +41,11 @@ def test_sample_poa_golden():
     assert out == _golden("sample_consensus.txt")
 
 
+def test_sample_poa_msa_golden():
+    out = _run(["poa", f"{DATA}/sample-windows.txt", "--msa"])
+    assert out == _golden("sample_msa.txt")
+
+
 MAP_ARGS = ["-k", "15", "-w", "5", "--min-overlap-len", "100",
             "--min-overlap-fraction", "0.3", "--min-bases-per-residue", "500"]
 
