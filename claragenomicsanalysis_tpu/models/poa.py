@@ -207,7 +207,8 @@ class Batch:
         fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
                 and self.batch_size.max_sequences_per_poa < 128)
         if (self.backend == "pallas"
-                or (self.backend == "auto" and pallas_available() and fits)):
+                or (self.backend in ("auto", "pallas2")
+                    and pallas_available() and fits)):
             # full in-kernel POA (ops/poa_pallas.py) — bit-identical to
             # the XLA program by the oracle contract
             from ..ops.poa_pallas import poa_batch_pallas
