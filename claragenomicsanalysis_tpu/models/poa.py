@@ -103,6 +103,10 @@ def _build_graph_program(bs: BatchSize, sc: PoaScores, banded: bool = False):
     return jax.jit(jax.vmap(run_window))
 
 
+#: (BatchSize, msa) pairs already warned about pallas2 VMEM fallback
+_vmem_warned: set = set()
+
+
 class Batch:
     """POA batch over padded windows (reference: cudapoa Batch [U])."""
 
@@ -189,21 +193,27 @@ class Batch:
         if self.backend == "pallas2":
             # lockstep-over-windows POA v2 (ops/poa_pallas2.py) — windows
             # on the lane axis for the graph-mutation phases
-            from ..ops.poa_pallas2 import (poa_batch_pallas2,
+            from ..ops.poa_pallas2 import (VMEM_BUDGET, poa_batch_pallas2,
                                            vmem_bytes_estimate)
-            if vmem_bytes_estimate(self.batch_size, msa) <= 14 * 2**20:
+            need = vmem_bytes_estimate(self.batch_size, msa)
+            if need <= VMEM_BUDGET:
                 return functools.partial(
                     poa_batch_pallas2, bs=self.batch_size, sc=self.scores,
                     banded=self.banded_alignment, msa=msa,
                     interpret=not pallas_available())
             # plane layout cannot fit VMEM (deep-pileup configs with
             # P = S); fall through to the auto choice rather than fail
-            # the Mosaic compile mid-run — outputs are identical anyway
-            from ..utils.logging import get_logger
-            get_logger().warning(
-                "pallas2 backend needs ~%d MiB VMEM for this BatchSize; "
-                "falling back to the auto backend",
-                vmem_bytes_estimate(self.batch_size, msa) >> 20)
+            # the Mosaic compile mid-run — outputs are identical anyway.
+            # Warn once per BatchSize: correction runs construct a Batch
+            # per dispatch chunk and must not spam the log.
+            key = (self.batch_size, msa)
+            if key not in _vmem_warned:
+                _vmem_warned.add(key)
+                from ..utils.logging import get_logger
+                get_logger().warning(
+                    "pallas2 backend needs ~%d MiB VMEM for this "
+                    "BatchSize; falling back to the auto backend",
+                    need >> 20)
         fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
                 and self.batch_size.max_sequences_per_poa < 128)
         if (self.backend == "pallas"

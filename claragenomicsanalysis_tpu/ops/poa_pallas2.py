@@ -1273,7 +1273,14 @@ def _msa_pallas(bs: BatchSize, interpret: bool, state, order):
     return rows, meta_out[0, :W]
 
 
-def vmem_bytes_estimate(bs: BatchSize, msa: bool = False) -> int:
+#: VMEM budget for the v2 plane layout (one v5e core has ~16 MiB; leave
+#: headroom for Mosaic temporaries).  Shared by models/poa's backend
+#: routing and scripts/bench_poa_v2.py's skip guard.
+VMEM_BUDGET = 14 * 2**20
+
+
+def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
+                        WPG: int = 8) -> int:
     """Peak VMEM one grid step of the fattest v2 kernel needs (the add
     kernel holds every state plane twice — input + aliased output — plus
     the path columns; the NW kernel holds two (N+3, WPG, L1) score/moves
@@ -1285,11 +1292,13 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False) -> int:
     A = bs.max_aligned_per_node
     L = bs.padded_seq
     L1 = round_up(L + 1, 128)
+    L128 = round_up(L, 128)
     TLS = round_up(N + L, 128)
     W = 128
     add_bytes = 4 * W * (N * (2 * (5 + 2 * P + A) + 2)   # planes, in+out
-                         + 4 * L + 2 * TLS + 16)         # seq/w/paths/pn/pp
-    nwtb_bytes = 2 * 4 * (N + 3) * 8 * L1                # scores + moves
+                         + 4 * L + 2 * TLS + 16          # seq/w/pn/pp
+                         + (L128 if msa else 0))         # path_row plane
+    nwtb_bytes = 2 * 4 * (N + 3) * WPG * L1              # scores + moves
     return max(add_bytes, nwtb_bytes)
 
 

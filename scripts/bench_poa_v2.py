@@ -17,7 +17,7 @@ def main():
     from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
     from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
     from claragenomicsanalysis_tpu.ops.poa_pallas2 import (
-        poa_batch_pallas2, vmem_bytes_estimate)
+        VMEM_BUDGET, poa_batch_pallas2, vmem_bytes_estimate)
     from claragenomicsanalysis_tpu.utils.genomeutils import (
         encode, generate_random_genome, mutate_sequence)
 
@@ -75,12 +75,15 @@ def main():
         for wpg in (1, 2, 4, 16):
             variants.append(
                 (f"v2-wpg{wpg}", functools.partial(
-                    poa_batch_pallas2, bs=bs, sc=sc, msa=msa, WPG=wpg)))
-    for name, program in variants:
-        if name.startswith("v2") and vmem_bytes_estimate(bs, msa) > 14 * 2**20:
+                    poa_batch_pallas2, bs=bs, sc=sc, msa=msa, WPG=wpg),
+                 wpg))
+    for name, program, *rest in variants:
+        wpg = rest[0] if rest else 8
+        need = vmem_bytes_estimate(bs, msa, WPG=wpg)
+        if name.startswith("v2") and need > VMEM_BUDGET:
             print(json.dumps({
                 "kernel": name, "skipped": "plane layout exceeds VMEM",
-                "MiB": vmem_bytes_estimate(bs, msa) >> 20}), flush=True)
+                "MiB": need >> 20}), flush=True)
             continue
         fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
         dt = time_scanned(fn, datasets, loops=2)

@@ -10,7 +10,9 @@ ts=$(date +%m%d_%H%M)
 run() {
   name=$1; shift
   echo "== $name == ($(date +%H:%M:%S))"
-  timeout 2400 "$@" 2>&1 | tail -30 | tee "bench_logs/${ts}_${name}.log"
+  timeout 2400 "$@" 2>&1 | tee "bench_logs/${ts}_${name}.log" | tail -30
+  rc=${PIPESTATUS[0]}
+  [ "$rc" -ne 0 ] && echo "!! $name exited rc=$rc" | tee -a "bench_logs/${ts}_${name}.log"
 }
 
 run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
