@@ -20,7 +20,8 @@ from claragenomicsanalysis_tpu.bench.harness import time_scanned  # noqa: E402
 from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores  # noqa: E402
 from claragenomicsanalysis_tpu.ops import poa_ops  # noqa: E402
 from claragenomicsanalysis_tpu.ops.poa_pallas2 import (  # noqa: E402
-    _add_pallas, _nwtb_pallas)
+    _add_pallas, _consensus_pallas, _msa_pallas, _nwtb_pallas,
+    _topsort_pallas)
 from claragenomicsanalysis_tpu.core.status import StatusType  # noqa: E402
 from claragenomicsanalysis_tpu.utils.genomeutils import (  # noqa: E402
     encode, generate_random_genome, mutate_sequence)
@@ -126,6 +127,14 @@ def main():
         "consensus": lambda sq, w, ln, st, lv, pn, pp, k0: jax.vmap(
             lambda s_, o, r: poa_ops.consensus(s_, o, r, MC)[0])(
             st, *_ranks(st, lv, N)),
+        "topsort_pallas": lambda sq, w, ln, st, lv, pn, pp, k0:
+            _topsort_pallas(bs, False, st, lv)[0],
+        "consensus_pallas": lambda sq, w, ln, st, lv, pn, pp, k0:
+            _consensus_pallas(bs, False, st, _ranks(st, lv, N)[1])[0],
+        "msa_xla": lambda sq, w, ln, st, lv, pn, pp, k0: jax.vmap(
+            poa_ops.msa_columns)(st, *_ranks(st, lv, N))[0],
+        "msa_pallas": lambda sq, w, ln, st, lv, pn, pp, k0:
+            _msa_pallas(bs, False, st, _ranks(st, lv, N)[0])[0],
     }
 
     def _ranks(st, lv, N):

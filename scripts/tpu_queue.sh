@@ -16,6 +16,7 @@ run() {
 }
 
 run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
+run poa_phases    python scripts/profile_poa_phases.py
 run poa_v2_pileup python scripts/bench_poa_v2.py --pileup
 run poa_v2_msa    python scripts/bench_poa_v2.py --msa
 run bench_all     python scripts/bench_all.py
