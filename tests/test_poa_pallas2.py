@@ -124,6 +124,11 @@ def test_v2_banded_matches_xla():
     want = xla_reference(bs, sc, False, True, args)
     got = run_v2(bs, sc, False, True, args, ("nwtb", "add"))
     assert_tuple_equal(got, want)
+    # banding + the full lockstep pipeline incl. MSA
+    want_m = xla_reference(bs, sc, True, True, args)
+    got_m = run_v2(bs, sc, True, True, args,
+                   ("nwtb", "add", "topsort", "consensus", "msa"))
+    assert_tuple_equal(got_m, want_m)
 
 
 def test_v2_overflow_corners_match_xla():
