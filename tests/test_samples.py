@@ -55,6 +55,12 @@ def test_sample_map_golden():
     assert out == _golden("sample_overlaps.paf")
 
 
+def test_sample_map_query_vs_target_golden():
+    out = _run(["map", f"{DATA}/sample_reads.fasta",
+                f"{DATA}/sample_targets.fasta"] + MAP_ARGS)
+    assert out == _golden("sample_qt.paf")
+
+
 def test_sample_pipeline_golden():
     out = _run(["pipeline", f"{DATA}/sample_reads.fasta"] + MAP_ARGS
                + ["--band-radius", "256"])
