@@ -125,23 +125,26 @@ def align(q, t, band_radius: int | None = None
     return path, int(D[len(qa), len(ta)]), status
 
 
-def path_to_cigar(path: list[int], extended: bool = False) -> str:
-    """RLE of the edit path (reference: AlignmentImpl::convert_to_cigar [U])."""
-    ops = CIGAR_OP_EXTENDED if extended else CIGAR_OP_COMPACT
-    out = []
-    prev = None
-    count = 0
-    for s in path:
-        op = ops[int(s)]
-        if op == prev:
-            count += 1
-        else:
-            if prev is not None:
-                out.append(f"{count}{prev}")
-            prev, count = op, 1
-    if prev is not None:
-        out.append(f"{count}{prev}")
-    return "".join(out)
+#: state-code -> op-char lookup rows for the vectorized RLE below
+_CIGAR_LUT_COMPACT = np.array([CIGAR_OP_COMPACT[s] for s in range(4)])
+_CIGAR_LUT_EXTENDED = np.array([CIGAR_OP_EXTENDED[s] for s in range(4)])
+
+
+def path_to_cigar(path, extended: bool = False) -> str:
+    """RLE of the edit path (reference: AlignmentImpl::convert_to_cigar [U]).
+
+    Vectorized: maps state codes to op chars through a LUT, finds run
+    boundaries with one comparison, and joins the few dozen runs — paths at
+    pipeline scale are thousands of ops each, so a per-op Python loop was a
+    measurable host cost (it dominated warm overlap->align runs)."""
+    arr = np.asarray(path, dtype=np.int64)
+    if arr.size == 0:
+        return ""
+    ops = (_CIGAR_LUT_EXTENDED if extended else _CIGAR_LUT_COMPACT)[arr]
+    brk = np.flatnonzero(ops[1:] != ops[:-1])
+    starts = np.concatenate([[0], brk + 1])
+    ends = np.concatenate([brk + 1, [arr.size]])
+    return "".join(f"{e - s}{ops[s]}" for s, e in zip(starts, ends))
 
 
 def format_alignment(path: list[int], q, t, width: int = 80) -> str:
