@@ -37,7 +37,7 @@ LANE = 128
 
 
 def _kernel(peq_ref, t_ref, msk_ref, qlen_ref, rows_ref, pv_ref, mv_ref,
-            score_ref, *, Wq: int, SUB: int, R: int):
+            score_ref, *, Wq: int, SUB: int, R: int, U: int):
     jc = pl.program_id(1)
 
     @pl.when(jc == 0)
@@ -51,56 +51,84 @@ def _kernel(peq_ref, t_ref, msk_ref, qlen_ref, rows_ref, pv_ref, mv_ref,
     score = score_ref[:]
     msk = [msk_ref[w] for w in range(Wq)]          # (SUB, LANE) each, hoisted
 
-    for rr in range(R):                            # R columns per grid step
-        j = jc * R + rr
-        c = t_ref[rr]                              # (SUB, LANE) int32
-        is01 = c <= 1
-        is0 = c == 0
-        is2 = c == 2
-        posmask = jnp.where(c >= 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    # U = column-unroll factor: the word loop goes OUTSIDE a U-column
+    # inner loop so each word's Pv/Mv load+store AND its four Peq loads
+    # amortize over U column updates (per column-word: ~8 memory issue
+    # slots at U=1 vs ~2 at U=4 against 27 ALU ops).  The dataflow is
+    # identical for every U — column u's word-w update still consumes
+    # word w-1's carry of column u and word w's state after column u-1 —
+    # so outputs are bit-identical (tests assert vs the scan backend).
+    for g in range(R // U):                        # R columns per grid step
+        is01 = [None] * U
+        is0 = [None] * U
+        is2 = [None] * U
+        posmask = [None] * U
+        for u in range(U):
+            c = t_ref[g * U + u]                   # (SUB, LANE) int32
+            is01[u] = c <= 1
+            is0[u] = c == 0
+            is2[u] = c == 2
+            posmask[u] = jnp.where(c >= 0, jnp.uint32(0xFFFFFFFF),
+                                   jnp.uint32(0))
 
-        hin_pos = jnp.ones((SUB, LANE), jnp.uint32)   # D[0,j]-D[0,j-1] = +1
-        hin_neg = jnp.zeros((SUB, LANE), jnp.uint32)
-        accP = jnp.zeros((SUB, LANE), jnp.uint32)
-        accM = jnp.zeros((SUB, LANE), jnp.uint32)
+        ones = jnp.ones((SUB, LANE), jnp.uint32)   # D[0,j]-D[0,j-1] = +1
+        zeros = jnp.zeros((SUB, LANE), jnp.uint32)
+        hin_pos = [ones] * U
+        hin_neg = [zeros] * U
+        accP = [zeros] * U
+        accM = [zeros] * U
         for w in range(Wq):
             Pv = pv_ref[w]
             Mv = mv_ref[w]
-            Eq = jnp.where(is01, jnp.where(is0, peq_ref[0, w], peq_ref[1, w]),
-                           jnp.where(is2, peq_ref[2, w], peq_ref[3, w]))
-            Eq = Eq & posmask
-            Eq2 = Eq | hin_neg
-            Xv = Eq | Mv
-            Xh = (((Eq2 & Pv) + Pv) ^ Pv) | Eq2
-            Ph_pre = Mv | ~(Xh | Pv)
-            Mh_pre = Pv & Xh
-            accP = accP | (Ph_pre & msk[w])
-            accM = accM | (Mh_pre & msk[w])
-            nxt_pos = Ph_pre >> (WORD - 1)
-            nxt_neg = Mh_pre >> (WORD - 1)
-            Ph = (Ph_pre << 1) | hin_pos
-            Mh = (Mh_pre << 1) | hin_neg
-            pv_ref[w] = Mh | ~(Xv | Ph)
-            mv_ref[w] = Ph & Xv
-            hin_pos = nxt_pos
-            hin_neg = nxt_neg
+            peq0, peq1 = peq_ref[0, w], peq_ref[1, w]
+            peq2, peq3 = peq_ref[2, w], peq_ref[3, w]
+            for u in range(U):
+                Eq = jnp.where(is01[u], jnp.where(is0[u], peq0, peq1),
+                               jnp.where(is2[u], peq2, peq3))
+                Eq = Eq & posmask[u]
+                Eq2 = Eq | hin_neg[u]
+                Xv = Eq | Mv
+                Xh = (((Eq2 & Pv) + Pv) ^ Pv) | Eq2
+                Ph_pre = Mv | ~(Xh | Pv)
+                Mh_pre = Pv & Xh
+                accP[u] = accP[u] | (Ph_pre & msk[w])
+                accM[u] = accM[u] | (Mh_pre & msk[w])
+                nxt_pos = Ph_pre >> (WORD - 1)
+                nxt_neg = Mh_pre >> (WORD - 1)
+                Ph = (Ph_pre << 1) | hin_pos[u]
+                Mh = (Mh_pre << 1) | hin_neg[u]
+                Pv, Mv = Mh | ~(Xv | Ph), Ph & Xv
+                hin_pos[u] = nxt_pos
+                hin_neg[u] = nxt_neg
+            pv_ref[w] = Pv
+            mv_ref[w] = Mv
 
-        delta = (accP != 0).astype(jnp.int32) - (accM != 0).astype(jnp.int32)
-        score = jnp.where(q0, j + 1, score + delta)
-        rows_ref[rr] = score
+        for u in range(U):
+            j = jc * R + g * U + u
+            delta = ((accP[u] != 0).astype(jnp.int32)
+                     - (accM[u] != 0).astype(jnp.int32))
+            score = jnp.where(q0, j + 1, score + delta)
+            rows_ref[g * U + u] = score
 
     score_ref[:] = score
 
 
-@functools.partial(jax.jit, static_argnames=("n_words", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_words", "interpret",
+                                              "unroll"))
 def myers_bottom_row_pallas(q, qlen, t, tlen, n_words: int | None = None,
-                            interpret: bool = False):
+                            interpret: bool = False, unroll: int = 1):
     """Drop-in replacement for ops.myers.myers_bottom_row: returns
-    (rows (B, Lt+1) int32, scores (B,) int32)."""
+    (rows (B, Lt+1) int32, scores (B,) int32).
+
+    unroll: column-unroll factor U (must divide 32); every U produces
+    bit-identical output — it only trades register pressure against
+    Pv/Mv/Peq memory traffic (see _kernel)."""
     B, Lq = q.shape
     Lt = t.shape[1]
     Wq = n_words or num_words(Lq)
     R = 32      # columns per grid step (measured 8/16/32 -> 3.66/3.82/3.89T)
+    if R % unroll != 0:
+        raise ValueError(f"unroll {unroll} must divide R={R}")
     qlen = qlen.astype(jnp.int32)
     tlen = tlen.astype(jnp.int32)
 
@@ -128,7 +156,7 @@ def myers_bottom_row_pallas(q, qlen, t, tlen, n_words: int | None = None,
     msk = jnp.where(widx == wlast[None, :], onebit[None, :], 0)  # (Wq, Bp)
     msk4 = msk.reshape(Wq, nbt, SUB, LANE).transpose(1, 0, 2, 3)
 
-    kernel = functools.partial(_kernel, Wq=Wq, SUB=SUB, R=R)
+    kernel = functools.partial(_kernel, Wq=Wq, SUB=SUB, R=R, U=unroll)
     rows = pl.pallas_call(
         kernel,
         grid=(nbt, Ltp // R),

@@ -15,6 +15,7 @@ run() {
   [ "$rc" -ne 0 ] && echo "!! $name exited rc=$rc" | tee -a "bench_logs/${ts}_${name}.log"
 }
 
+run myers_unroll  python scripts/ablate_myers_unroll.py
 run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
 run poa_phases    python scripts/profile_poa_phases.py
 run poa_v2_pileup python scripts/bench_poa_v2.py --pileup

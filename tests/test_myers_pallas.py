@@ -3,6 +3,7 @@ formulation: rows and scores bit-identical, including empty/degenerate
 problems and multi-word queries."""
 
 import numpy as np
+import pytest
 
 from claragenomicsanalysis_tpu.ops.myers import myers_bottom_row
 from claragenomicsanalysis_tpu.ops.myers_pallas import myers_bottom_row_pallas
@@ -18,7 +19,8 @@ def _pack(pairs, Lq, Lt):
     return q, qlen, t, tlen
 
 
-def test_pallas_myers_matches_xla(rng):
+@pytest.mark.parametrize("unroll", [1, 2, 4])
+def test_pallas_myers_matches_xla(rng, unroll):
     pairs = []
     for _ in range(6):
         a = generate_random_genome(int(rng.integers(1, 90)), rng)
@@ -27,7 +29,8 @@ def test_pallas_myers_matches_xla(rng):
     pairs += [("", "ACG"), ("ACGT", ""), ("A", "A")]
     q, qlen, t, tlen = _pack(pairs, 96, 104)
     r1, s1 = myers_bottom_row(q, qlen, t, tlen)
-    r2, s2 = myers_bottom_row_pallas(q, qlen, t, tlen, interpret=True)
+    r2, s2 = myers_bottom_row_pallas(q, qlen, t, tlen, interpret=True,
+                                     unroll=unroll)
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
 
