@@ -27,11 +27,28 @@ from ..ops import nw_band
 from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 
 
-#: per-problem traceback budget: above this, the banded tb array (Lq x W
-#: bytes each) costs more to materialize than a Hirschberg re-solve — long
-#: pairs route to the linear-memory path (the reference's own long-pair
-#: answer, hirschberg_myers_gpu.cu [U]).
+#: per-problem traceback budget for the XLA backend: above this, the
+#: UNPACKED banded tb array (Lq x W bytes each) costs more to materialize
+#: than a Hirschberg re-solve — long pairs route to the linear-memory path
+#: (the reference's own long-pair answer, hirschberg_myers_gpu.cu [U]).
 TB_BYTES_PER_PROBLEM = 1 << 18
+
+#: per-problem budget for the Pallas backend, counted on the PACKED tb
+#: (4 codes/byte).  Sized by the device decode kernel's VMEM staging —
+#: it expands a problem's packed bytes to (Lq/4, W) int32 scratch
+#: (= Lq*W bytes = 4x packed), and one v5e core has ~16 MiB VMEM — so
+#: 2 MiB packed -> 8 MiB scratch with headroom for the double-buffered
+#: input block.  Routing matters: a 3 kb overlap span at ~10 % combined
+#: error needs r ~= 512 (787 KiB packed), and the banded dispatch+decode
+#: is ~4 round trips per batch where the host-driven Hirschberg D&C is
+#: ~2 per level x log2(L/32) levels plus per-fragment numpy slicing —
+#: the old unpacked 256 KiB threshold sent every such span down the
+#: slow path.
+TB_BYTES_PER_PROBLEM_PACKED = 1 << 21
+
+#: device-memory budget per banded re-run dispatch (bounds tb bytes in
+#: flight; mirrors Aligner.MEM_BUDGET_PER_DISPATCH)
+MEM_BUDGET_PER_DISPATCH = 1 << 28
 
 
 def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
@@ -57,28 +74,36 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     buckets: dict[int, list[int]] = {}
     hirsch: list[int] = []
     Lq = q.shape[1]
+    tb_div = 4 if use_pallas else 1       # Pallas tb is 2-bit packed
+    tb_cap = (TB_BYTES_PER_PROBLEM_PACKED if use_pallas
+              else TB_BYTES_PER_PROBLEM)
     for b in range(B):
         if qlen[b] == 0 and tlen[b] == 0:
             continue                      # batch-padding rows: empty path
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
         if (queries is not None and b < len(queries)
-                and Lq * nw_band.band_width(r) > TB_BYTES_PER_PROBLEM):
+                and Lq * nw_band.band_width(r) // tb_div > tb_cap):
             hirsch.append(b)
         else:
             buckets.setdefault(r, []).append(b)
 
     for r, idxs in sorted(buckets.items()):
-        sel = np.array(idxs)
-        _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
-        if use_pallas:
-            from ..ops.tb_decode_pallas import traceback_paths_device
-            sub_paths = traceback_paths_device(tb, qlen[sel], tlen[sel], r)
-        else:
-            sub_paths = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
-                                                tlen[sel], r)
-        for k, b in enumerate(idxs):
-            paths[b] = sub_paths[k]
+        # chunk each bucket so per-dispatch tb bytes stay within budget
+        per = max(1, Lq * nw_band.band_width(r) // tb_div)
+        chunk = max(8, min(len(idxs), MEM_BUDGET_PER_DISPATCH // per))
+        for s0 in range(0, len(idxs), chunk):
+            sel = np.array(idxs[s0: s0 + chunk])
+            _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
+            if use_pallas:
+                from ..ops.tb_decode_pallas import traceback_paths_device
+                sub_paths = traceback_paths_device(tb, qlen[sel], tlen[sel],
+                                                   r)
+            else:
+                sub_paths = nw_band.traceback_paths(np.asarray(tb),
+                                                    qlen[sel], tlen[sel], r)
+            for k, b in enumerate(idxs[s0: s0 + chunk]):
+                paths[b] = sub_paths[k]
 
     if hirsch:
         from .hirschberg import hirschberg_align_batch

@@ -27,7 +27,7 @@ class PipelineResult:
 
 
 def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
-                 batch_size: int = 256, mesh=None) -> PipelineResult:
+                 batch_size: int = 2048, mesh=None) -> PipelineResult:
     """Map all-vs-all, then globally align each overlap's spans.
     `mesh`: optional Mesh — matching shards over its 'rep' view."""
     from ..parallel.mesh import axis_meshes
@@ -66,6 +66,11 @@ def run_pipeline(parser: FastaParser, cfg: PipelineConfig,
     with trace_range("pipeline.align"):
         for blen in sorted(buckets):
             idxs = buckets[blen]
+            # large default chunk: the myers driver already chunks its
+            # banded re-runs by a device-memory budget, so small outer
+            # chunks only multiplied dispatch round trips.  batch_size
+            # caps one dispatch's Myers batch (tunable for small hosts);
+            # pow2 padding bounds the executable count.
             for start in range(0, len(idxs), batch_size):
                 chunk_ids = idxs[start:start + batch_size]
                 aligner = create_aligner(
