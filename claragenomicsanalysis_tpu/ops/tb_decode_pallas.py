@@ -4,9 +4,10 @@ The banded kernel's traceback array is (Lq/4, B, W) packed bytes; decoding
 on the host means downloading it (the dominant cost of CIGAR production
 through the ~20 MB/s transfer path — ~35x the final path bytes for
 Hirschberg leaf batches).  This kernel walks each problem's traceback on
-device — one problem per grid step, the walk is a scalar while-loop writing
-2-bit-decoded move codes into an SMEM output row — so only (B, TL) path
-bytes plus (B,) start offsets ever leave the chip.
+device — one problem per grid step, the walk is a scalar while-loop
+OR-packing 2-bit move codes 16-per-int32 into an SMEM output row — so only
+(B, TL/16) packed words plus (B,) start offsets ever leave the chip (the
+host unpack is one vectorized shift-and-mask).
 
 Semantics: identical to the VALID-problem walks of
 ops/nw_band.traceback_paths (same clipping, same row-0 deletion tail);
@@ -39,6 +40,16 @@ def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
     # problem's packed bytes into int32 scratch once (one vector convert)
     tb32[...] = tb_ref[...].astype(jnp.int32) & 0xFF
 
+    # the output row is 2-bit PACKED (16 codes per int32 word): the path
+    # download is the pipeline's dominant transfer through the ~20 MB/s
+    # tunnel, and packing cuts it 16x vs one int32 per move.  The walk
+    # writes backwards, so each word is OR-accumulated in SMEM.
+    def clear(w, _):
+        path_ref[0, w] = 0
+        return 0
+
+    jax.lax.fori_loop(0, TL // 16, clear, 0)
+
     def cond(c):
         i, j, k = c
         return ((i > 0) | (j > 0)) & (k > 0)
@@ -52,7 +63,8 @@ def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
         code = (byte >> (2 * ((i - 1) & 3))) & 3
         code = jnp.where(i == 0, 3, code)                # row 0: deletions
         k2 = k - 1
-        path_ref[0, k2] = code
+        word = k2 >> 4
+        path_ref[0, word] = path_ref[0, word] | (code << (2 * (k2 & 15)))
         di = (code == 0) | (code == 1) | (code == 2)
         dj = (code == 0) | (code == 1) | (code == 3)
         return (i - di.astype(jnp.int32), j - dj.astype(jnp.int32), k2)
@@ -66,8 +78,9 @@ def _decode(tb, qlen, tlen, band_radius, interpret):
     Lq4, B, W = tb.shape
     Lq = Lq4 * 4
     # a global path has at most qlen + tlen <= Lq + (Lq + 2r) moves within
-    # the band; round generously
-    TL = round_up(2 * Lq + 2 * band_radius + 8, 128)
+    # the band; round to a 2048 multiple so the PACKED output row
+    # (16 codes/int32) keeps a 128-lane SMEM block shape
+    TL = round_up(2 * Lq + 2 * band_radius + 8, 2048)
     kernel = functools.partial(_kernel, r=band_radius, W=W, TL=TL)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,             # qlen, tlen as (B,) SMEM arrays
@@ -77,7 +90,7 @@ def _decode(tb, qlen, tlen, band_radius, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((None, 1, TL), lambda b, *_: (b, 0, 0),
+            pl.BlockSpec((None, 1, TL // 16), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, 128), lambda b, *_: (b, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -85,16 +98,16 @@ def _decode(tb, qlen, tlen, band_radius, interpret):
         scratch_shapes=[pltpu.VMEM((Lq4, W), jnp.int32)],
     )
     tb_b = jnp.transpose(tb, (1, 0, 2))    # (B, Lq4, W): one problem/block
-    paths, start = pl.pallas_call(
+    packed, start = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((B, 1, TL), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, TL // 16), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 128), jnp.int32),
         ),
         interpret=interpret,
     )(qlen, tlen, tb_b)
-    return paths[:, 0, :], start[:, 0, 0]
+    return packed[:, 0, :], start[:, 0, 0]
 
 
 #: problems per pallas_call: the scalar-prefetch length arrays and the SMEM
@@ -119,12 +132,16 @@ def traceback_paths_device(tb, qlen, tlen, band_radius: int,
         qlen = jnp.pad(qlen, (0, Bp - B))
         tlen = jnp.pad(tlen, (0, Bp - B))
     out: list[list[int]] = []
+    shifts = 2 * np.arange(16, dtype=np.uint32)
     for s in range(0, tb.shape[1], _DECODE_CHUNK):
         e = s + min(_DECODE_CHUNK, tb.shape[1])
-        paths, start = _decode(tb[:, s:e], qlen[s:e], tlen[s:e],
-                               band_radius, interpret)
-        paths = np.asarray(paths)
+        packed, start = _decode(tb[:, s:e], qlen[s:e], tlen[s:e],
+                                band_radius, interpret)
+        # unpack 16 2-bit codes per int32 word (vectorized; the download
+        # above was 16x smaller than one int32 per move)
+        pw = np.asarray(packed).astype(np.uint32)        # (Bc, TL/16)
+        codes = ((pw[:, :, None] >> shifts) & 3).reshape(pw.shape[0], -1)
         start = np.asarray(start)
-        out.extend(paths[b, start[b]:].tolist()
-                   for b in range(paths.shape[0]))
+        out.extend(codes[b, start[b]:].tolist()
+                   for b in range(codes.shape[0]))
     return out[:B]
