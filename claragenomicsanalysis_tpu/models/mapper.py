@@ -40,15 +40,132 @@ def kmerize(seq: str, k: int) -> Counter:
     return Counter(seq[i: i + k] for i in range(len(seq) - k + 1))
 
 
+#: ASCII -> 2-bit base code for the vectorized similarity path (uppercase
+#: ACGT only; anything else routes to the exact Counter fallback)
+_SIM_CODE = np.full(256, -1, dtype=np.int64)
+for _i, _c in enumerate("ACGT"):
+    _SIM_CODE[ord(_c)] = _i
+
+
+def _kmer_hist(codes: np.ndarray, k: int) -> np.ndarray:
+    """Histogram of 2-bit-packed k-mer values over 4**k bins."""
+    win = np.lib.stride_tricks.sliding_window_view(codes, k)
+    vals = win @ (4 ** np.arange(k - 1, -1, -1, dtype=np.int64))
+    return np.bincount(vals, minlength=4 ** k)
+
+
 def sequence_similarity(a: str, b: str, k: int = 4) -> float:
     """Shared-k-mer fraction: |kmers(a) & kmers(b)| / min(#kmers) in [0, 1]
     (reference: cudamapper_utils similarity helper [U]; exact formula is OURS,
-    documented here: multiset intersection over the shorter k-mer count)."""
+    documented here: multiset intersection over the shorter k-mer count).
+
+    Long pure-uppercase-ACGT inputs with k <= 8 take a vectorized path
+    (2-bit k-mer codes + bincount + elementwise min); short or non-ACGT
+    inputs keep the string-multiset Counter, which measures faster below
+    a few hundred bases (numpy call overhead dominates tiny flanks — the
+    per-overlap scale fix for rescue_overlap_ends is the BATCHED
+    _similarity_batch below, not this function)."""
+    if k <= 0 or len(a) < k or len(b) < k:
+        return 0.0
+    if k <= 8 and min(len(a), len(b)) >= 256:
+        ca = _SIM_CODE[np.frombuffer(a.encode(), dtype=np.uint8)]
+        cb = _SIM_CODE[np.frombuffer(b.encode(), dtype=np.uint8)]
+        if ca.min() >= 0 and cb.min() >= 0:
+            shared = int(np.minimum(_kmer_hist(ca, k), _kmer_hist(cb, k))
+                         .sum())
+            return shared / min(len(a) - k + 1, len(b) - k + 1)
     ka, kb = kmerize(a, k), kmerize(b, k)
     if not ka or not kb:
         return 0.0
     shared = sum((ka & kb).values())
     return shared / min(sum(ka.values()), sum(kb.values()))
+
+
+def _similarity_batch(pairs: list[tuple[str, str]], k: int) -> np.ndarray:
+    """sequence_similarity over many (a, b) pairs at once — the scale path
+    for rescue_overlap_ends (one Counter multiset per flank cost ~35 us;
+    at ONT scale the rescue pass has 10^5..10^6 flank pairs).
+
+    Pure-uppercase-ACGT pairs batch through padded 2-bit k-mer codes and
+    one flat bincount per row chunk; anything else falls back to the
+    Counter path per pair.  Results equal sequence_similarity exactly."""
+    n = len(pairs)
+    sims = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return sims
+
+    def fallback(idxs):
+        for i in idxs:
+            sims[i] = sequence_similarity(*pairs[i], k)
+
+    if k <= 0 or k > 8:
+        fallback(range(n))
+        return sims
+    try:                                    # one encode of ALL flanks
+        a_bytes = "".join(a for a, _ in pairs).encode("ascii")
+        b_bytes = "".join(b for _, b in pairs).encode("ascii")
+    except UnicodeEncodeError:              # exotic chars: exact slow path
+        fallback(range(n))
+        return sims
+    la = np.fromiter((len(a) for a, _ in pairs), np.int64, n)
+    lb = np.fromiter((len(b) for _, b in pairs), np.int64, n)
+    ca = _SIM_CODE[np.frombuffer(a_bytes, dtype=np.uint8)]
+    cb = _SIM_CODE[np.frombuffer(b_bytes, dtype=np.uint8)]
+
+    def seg_ok(codes, lens):
+        """per-row all-ACGT flag, without per-row numpy calls"""
+        ok = np.ones(n, dtype=bool)
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        nz = lens > 0
+        if codes.size:
+            # clip so trailing empty segments can't index past the end;
+            # their junk minima are masked out by nz
+            mins = np.minimum.reduceat(codes, np.minimum(offs,
+                                                         codes.size - 1))
+            ok[nz] = mins[nz] >= 0
+        return ok
+
+    fast = (la >= k) & (lb >= k) & seg_ok(ca, la) & seg_ok(cb, lb)
+    fallback(np.flatnonzero(~fast & (la >= k) & (lb >= k)))
+    fi = np.flatnonzero(fast)
+    if fi.size == 0:
+        return sims
+    nbins = 4 ** k
+    pows = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+
+    def row_vals(codes, lens):
+        """(sum nwin,) valid k-mer values + per-row window counts: windows
+        slide over the FLAT concatenation once; per-row windows are the
+        offs[i]..offs[i]+len-k slice (cross-segment windows never get
+        selected), so no padded matrix or scatter is ever built."""
+        if codes.size < k:
+            return np.zeros(0, np.int64), np.zeros(fi.size, np.int64)
+        flat = np.lib.stride_tricks.sliding_window_view(codes, k) @ pows
+        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+        nwin = lens[fi] - k + 1
+        total = int(nwin.sum())
+        starts = np.concatenate([[0], np.cumsum(nwin)[:-1]])
+        local = np.arange(total, dtype=np.int64) - np.repeat(starts, nwin)
+        return flat[np.repeat(offs[fi], nwin) + local], nwin
+
+    va, na = row_vals(ca, la)
+    vb, nb = row_vals(cb, lb)
+    # small slices keep the two dense histograms cache-resident (the
+    # min+sum over them is the memory-bound step): ~0.5M bins ~= 4 MB
+    CHUNK = max(1, (1 << 19) // nbins)
+    ra = np.concatenate([[0], np.cumsum(na)])
+    rb = np.concatenate([[0], np.cumsum(nb)])
+    rowid_a = np.repeat(np.arange(fi.size) % CHUNK, na)
+    rowid_b = np.repeat(np.arange(fi.size) % CHUNK, nb)
+    for s in range(0, fi.size, CHUNK):
+        e = min(s + CHUNK, fi.size)
+        ha = np.bincount(rowid_a[ra[s]:ra[e]] * nbins + va[ra[s]:ra[e]],
+                         minlength=(e - s) * nbins).reshape(e - s, nbins)
+        hb = np.bincount(rowid_b[rb[s]:rb[e]] * nbins + vb[rb[s]:rb[e]],
+                         minlength=(e - s) * nbins).reshape(e - s, nbins)
+        shared = np.minimum(ha, hb).sum(axis=1)
+        sims[fi[s:e]] = shared / np.minimum(na[s:e], nb[s:e])
+    return sims
 
 
 class Index:
@@ -380,45 +497,65 @@ class Overlapper:
         sequence_similarity(query flank, strand-oriented target flank, k)
         >= required_similarity.  '-' overlaps pair the query head with the
         reverse-complemented target TAIL flank and vice versa (PAF keeps
-        target coordinates on the forward strand)."""
-        out = []
-        for o in overlaps:
+        target coordinates on the forward strand).
+
+        The two ends read disjoint coordinates, so all candidate flank
+        pairs are collected first and scored in ONE _similarity_batch
+        call (the per-overlap Counter loop dominated rescue at scale)."""
+        cand: list[tuple[int, bool, int]] = []   # (overlap idx, is_head, e)
+        flanks: list[tuple[str, str]] = []
+        spans = []
+        for bi, o in enumerate(overlaps):
             q = parser.get_sequence_by_id(o.query_read_id).seq
             t = parser.get_sequence_by_id(o.target_read_id).seq
             qs, qe = (o.query_start_position_in_read,
                       o.query_end_position_in_read)
             ts, te = (o.target_start_position_in_read,
                       o.target_end_position_in_read)
+            spans.append([qs, qe, ts, te])
             fwd = o.relative_strand == "+"
 
             # head of the query pairs with target start (+) / target end (-)
             e = min(extension, qs, ts if fwd else len(t) - te)
             if e >= k:
                 qf = q[qs - e: qs]
-                tf = t[ts - e: ts] if fwd else reverse_complement(t[te: te + e])
-                if sequence_similarity(qf, tf, k) >= required_similarity:
-                    qs -= e
-                    if fwd:
-                        ts -= e
-                    else:
-                        te += e
+                tf = (t[ts - e: ts] if fwd
+                      else reverse_complement(t[te: te + e]))
+                cand.append((bi, True, e))
+                flanks.append((qf, tf))
             # tail of the query pairs with target end (+) / target start (-)
             e = min(extension, len(q) - qe, len(t) - te if fwd else ts)
             if e >= k:
                 qf = q[qe: qe + e]
-                tf = t[te: te + e] if fwd else reverse_complement(t[ts - e: ts])
-                if sequence_similarity(qf, tf, k) >= required_similarity:
-                    qe += e
-                    if fwd:
-                        te += e
-                    else:
-                        ts -= e
-            out.append(replace(
-                o, query_start_position_in_read=qs,
-                query_end_position_in_read=qe,
-                target_start_position_in_read=ts,
-                target_end_position_in_read=te))
-        return out
+                tf = (t[te: te + e] if fwd
+                      else reverse_complement(t[ts - e: ts]))
+                cand.append((bi, False, e))
+                flanks.append((qf, tf))
+
+        sims = _similarity_batch(flanks, k)
+        for (bi, is_head, e), sim in zip(cand, sims):
+            if sim < required_similarity:
+                continue
+            fwd = overlaps[bi].relative_strand == "+"
+            sp = spans[bi]
+            if is_head:
+                sp[0] -= e                  # qs
+                if fwd:
+                    sp[2] -= e              # ts
+                else:
+                    sp[3] += e              # te
+            else:
+                sp[1] += e                  # qe
+                if fwd:
+                    sp[3] += e              # te
+                else:
+                    sp[2] -= e              # ts
+        return [replace(
+            o, query_start_position_in_read=sp[0],
+            query_end_position_in_read=sp[1],
+            target_start_position_in_read=sp[2],
+            target_end_position_in_read=sp[3])
+            for o, sp in zip(overlaps, spans)]
 
 
 @dataclass
