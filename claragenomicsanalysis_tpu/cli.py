@@ -134,8 +134,11 @@ def cmd_map(args) -> int:
                              index_store_dir=args.index_store or None)
     overlaps = res.overlaps
     if args.fuse_overlaps:
-        overlaps = Overlapper.fuse_overlaps(overlaps,
-                                            max_gap=args.fusion_max_gap)
+        # rows-level fusion (scale path, identical results to the
+        # object-level fuse_overlaps — differential-tested)
+        overlaps = Overlapper.rows_to_overlaps(
+            Overlapper.fuse_overlap_rows(res.rows,
+                                         max_gap=args.fusion_max_gap))
     if args.rescue_overlap_ends:
         if args.target:
             print("warning: --rescue-overlap-ends is all-vs-all only; "

@@ -485,6 +485,46 @@ class Overlapper:
         return out
 
     @staticmethod
+    def fuse_overlap_rows(rows: np.ndarray, max_gap: int = 500) -> np.ndarray:
+        """fuse_overlaps on the (8, n) canonical-order row array — the
+        scale path (no per-overlap dataclasses; the Python loop only walks
+        group members, and row arithmetic is plain ints).  Result rows
+        equal fuse_overlaps applied to the same overlaps (differential-
+        tested), in the same canonical order: fusion only merges adjacent
+        same-group rows, so group-local merging preserves global order."""
+        n = rows.shape[1]
+        if n == 0:
+            return rows
+        qid, tid, st = rows[0], rows[1], rows[7]
+        new_grp = np.ones(n, dtype=bool)
+        new_grp[1:] = ((qid[1:] != qid[:-1]) | (tid[1:] != tid[:-1])
+                       | (st[1:] != st[:-1]))
+        grp_starts = np.flatnonzero(new_grp)
+        grp_ends = np.append(grp_starts[1:], n)
+        out_cols: list[np.ndarray] = []
+        R = np.ascontiguousarray(rows.T)        # (n, 8) row-wise
+        for s, e in zip(grp_starts, grp_ends):
+            if e - s == 1:
+                out_cols.append(R[s])
+                continue
+            fused = R[s].copy()
+            fwd = fused[7] == 0
+            for i in range(s + 1, e):
+                c = R[i]
+                qgap = c[2] - fused[3]
+                tgap = (c[4] - fused[5]) if fwd else (fused[4] - c[5])
+                if qgap <= max_gap and tgap <= max_gap:
+                    fused[3] = max(fused[3], c[3])
+                    fused[4] = min(fused[4], c[4])
+                    fused[5] = max(fused[5], c[5])
+                    fused[6] += c[6]
+                else:
+                    out_cols.append(fused)
+                    fused = c.copy()
+            out_cols.append(fused)
+        return np.stack(out_cols, axis=1)
+
+    @staticmethod
     def rescue_overlap_ends(overlaps: list[Overlap], parser: FastaParser,
                             extension: int = 50,
                             required_similarity: float = 0.85,
@@ -564,6 +604,9 @@ class MapResult:
     statuses: list[StatusType]
     cache_hits: int = 0
     cache_misses: int = 0
+    #: the same overlaps as an (8, n) int32 array in canonical order —
+    #: the scale surface (fuse_overlap_rows etc. avoid object costs)
+    rows: np.ndarray | None = None
 
 
 def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
@@ -602,8 +645,10 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
             matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
-    all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])
-    return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
+    rows = rows[:, _canonical_order(rows)]
+    all_overlaps = Overlapper.rows_to_overlaps(rows)
+    return MapResult(all_overlaps, statuses, cache.hits, cache.misses,
+                     rows=rows)
 
 
 def map_query_vs_target(query_parser: FastaParser,
@@ -636,8 +681,10 @@ def map_query_vs_target(query_parser: FastaParser,
                 matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
-    all_overlaps = Overlapper.rows_to_overlaps(rows[:, _canonical_order(rows)])
-    return MapResult(all_overlaps, statuses, cache.hits, cache.misses)
+    rows = rows[:, _canonical_order(rows)]
+    all_overlaps = Overlapper.rows_to_overlaps(rows)
+    return MapResult(all_overlaps, statuses, cache.hits, cache.misses,
+                     rows=rows)
 
 
 def overlaps_to_paf(overlaps: list[Overlap], parser: FastaParser,

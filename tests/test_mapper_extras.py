@@ -105,6 +105,36 @@ def test_fuse_respects_strand_and_ids():
     assert len(Overlapper.fuse_overlaps([a, b, c])) == 3
 
 
+def test_fuse_overlap_rows_matches_object_fusion(rng):
+    """The rows-level fusion (the scale path the CLI uses) must reproduce
+    fuse_overlaps exactly on randomized overlap sets, including multi-part
+    chains, containments, both strands and strand/id group breaks."""
+    import numpy as np
+    for trial in range(20):
+        ovs = []
+        for _ in range(int(rng.integers(1, 60))):
+            q, t = int(rng.integers(0, 4)), int(rng.integers(0, 4))
+            qs = int(rng.integers(0, 4000))
+            qe = qs + int(rng.integers(1, 800))
+            ts = int(rng.integers(0, 4000))
+            te = ts + int(rng.integers(1, 800))
+            ovs.append(_ov(q, t, qs, qe, ts, te,
+                           "+" if rng.integers(0, 2) == 0 else "-"))
+        gap = int(rng.integers(0, 800))
+        want = Overlapper.fuse_overlaps(ovs, max_gap=gap)
+        ordered = sorted(ovs, key=lambda o: o.key())
+        rows = np.array(
+            [[o.query_read_id, o.target_read_id,
+              o.query_start_position_in_read, o.query_end_position_in_read,
+              o.target_start_position_in_read, o.target_end_position_in_read,
+              o.num_residues, 0 if o.relative_strand == "+" else 1]
+             for o in ordered], dtype=np.int32).T
+        got = Overlapper.rows_to_overlaps(
+            Overlapper.fuse_overlap_rows(rows, max_gap=gap))
+        assert [o.key() + (o.num_residues,) for o in got] \
+            == [o.key() + (o.num_residues,) for o in want], trial
+
+
 def test_true_pairs_and_evaluator(sim, tmp_path):
     genome, reads, parser, cfg = sim
     truth_path = str(tmp_path / "truth.tsv")
