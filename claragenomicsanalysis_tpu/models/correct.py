@@ -65,10 +65,12 @@ def _matched_pairs(path: list[int], o: Overlap):
 
 
 def _align_overlaps(overlaps: list[Overlap], parser: FastaParser,
-                    cfg: CorrectConfig, batch_size: int = 256):
+                    cfg: CorrectConfig, batch_size: int = 2048):
     """Base-exact alignment of each overlap's spans (same batching discipline
-    as models/pipeline.py).  Returns one path (AlignmentState codes) per
-    overlap; unalignable overlaps get an empty path."""
+    as models/pipeline.py — large chunks, because the myers driver already
+    bounds per-dispatch memory and every extra chunk costs tunnel round
+    trips).  Returns one path (AlignmentState codes) per overlap;
+    unalignable overlaps get an empty path."""
     max_len = 1
     spans = []
     for o in overlaps:
