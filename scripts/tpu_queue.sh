@@ -17,6 +17,7 @@ run() {
 
 run myers_unroll  python scripts/ablate_myers_unroll.py
 run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
+run poa_v2_wpg    python scripts/bench_poa_v2.py --wpg
 run poa_phases    python scripts/profile_poa_phases.py
 run poa_v2_pileup python scripts/bench_poa_v2.py --pileup
 run poa_v2_msa    python scripts/bench_poa_v2.py --msa
