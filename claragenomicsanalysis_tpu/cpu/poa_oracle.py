@@ -287,7 +287,8 @@ class PoaGraph:
             rev_path.append(u)
             u = best_pred[u]
         path = rev_path[::-1]
-        cons = "".join(BASES[self.node_base[u]] for u in path)
+        cons = "".join(BASES[self.node_base[u]] if self.node_base[u] >= 0
+                       else "N" for u in path)
         cov = [self.node_coverage[u] for u in path]
         return cons, cov
 
@@ -316,7 +317,11 @@ class PoaGraph:
             row = ["-"] * next_col
             for u in node_path:
                 if u >= 0:
-                    row[col[u]] = BASES[self.node_base[u]]
+                    # ambiguous-base (N) nodes render as '-': the device MSA
+                    # arrays use -1 for BOTH gap and unknown base (a
+                    # documented conflation — consensus keeps N exactly)
+                    b = self.node_base[u]
+                    row[col[u]] = BASES[b] if b >= 0 else "-"
             rows.append("".join(row))
         return rows
 

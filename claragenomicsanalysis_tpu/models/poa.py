@@ -266,7 +266,9 @@ class Batch:
             n = int(lengths[wi])
             if n > self.batch_size.max_consensus_size:
                 n = self.batch_size.max_consensus_size
-            out_s.append("".join(BASES[c] for c in codes[wi, :n] if c >= 0))
+            # negative codes are ambiguous-base (N) nodes, kept positionally
+            out_s.append("".join(BASES[c] if c >= 0 else "N"
+                                 for c in codes[wi, :n]))
             out_c.append([int(x) for x in covs[wi, :n]])
             out_st.append(StatusType.SUCCESS)
         return out_s, out_c, out_st

@@ -4,6 +4,13 @@
 Encoding: A=0, C=1, G=2, T=3 as int8.  Complement of code c is 3 - c.
 Padding value for encoded arrays is -1 (never equal to any base, so padded
 cells always score as mismatch and are additionally masked by length).
+
+Ambiguous bases (N, IUPAC codes, anything not ACGTacgt) also encode to -1:
+every match predicate in the engine is `(a == b) & (a >= 0)`, so an unknown
+base never matches anything — not even another unknown (cpu/nw_oracle.py and
+cpu/mapper_oracle.py document the same rule; the mapper additionally excludes
+k-mers containing a negative code from sketching).  decode() renders internal
+negative codes as 'N'; only the TRAILING negative run is treated as padding.
 """
 
 import numpy as np
@@ -32,14 +39,18 @@ def encode(seq: str, length: int | None = None) -> np.ndarray:
 
 
 def decode(codes: np.ndarray, length: int | None = None) -> str:
+    """Decode int8 codes to a string; negative codes decode to 'N'.  With no
+    explicit length, the trailing negative run is treated as padding and
+    trimmed (internal negatives are ambiguous input bases, kept as 'N')."""
     codes = np.asarray(codes)
     if length is not None:
         codes = codes[:length]
     else:
-        valid = codes >= 0
-        if not valid.all():
-            codes = codes[: int(np.argmin(valid))] if not valid[0] else codes[valid]
-    return _DEC[codes.astype(np.intp)].tobytes().decode()
+        nz = np.nonzero(codes >= 0)[0]
+        codes = codes[: int(nz[-1]) + 1] if nz.size else codes[:0]
+    out = _DEC[np.clip(codes, 0, 3).astype(np.intp)]
+    out = np.where(codes >= 0, out, np.uint8(ord("N")))
+    return out.tobytes().decode()
 
 
 def reverse_complement(seq: str) -> str:
