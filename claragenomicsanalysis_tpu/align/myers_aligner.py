@@ -77,20 +77,28 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     tb_div = 4 if use_pallas else 1       # Pallas tb is 2-bit packed
     tb_cap = (TB_BYTES_PER_PROBLEM_PACKED if use_pallas
               else TB_BYTES_PER_PROBLEM)
+    if use_pallas:
+        # the Pallas kernel's band rounds to 8 sublanes (band_width_sub),
+        # not the XLA backend's 128 lanes — sizing with band_width() would
+        # overestimate packed tb bytes up to ~5x at small radii and
+        # mis-route long low-error pairs to the slow Hirschberg path
+        from ..ops.nw_band_pallas import band_width_sub as _bw
+    else:
+        _bw = nw_band.band_width
     for b in range(B):
         if qlen[b] == 0 and tlen[b] == 0:
             continue                      # batch-padding rows: empty path
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
         if (queries is not None and b < len(queries)
-                and Lq * nw_band.band_width(r) // tb_div > tb_cap):
+                and Lq * _bw(r) // tb_div > tb_cap):
             hirsch.append(b)
         else:
             buckets.setdefault(r, []).append(b)
 
     for r, idxs in sorted(buckets.items()):
         # chunk each bucket so per-dispatch tb bytes stay within budget
-        per = max(1, Lq * nw_band.band_width(r) // tb_div)
+        per = max(1, Lq * _bw(r) // tb_div)
         chunk = max(8, min(len(idxs), MEM_BUDGET_PER_DISPATCH // per))
         for s0 in range(0, len(idxs), chunk):
             sel = np.array(idxs[s0: s0 + chunk])

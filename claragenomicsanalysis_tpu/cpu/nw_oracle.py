@@ -140,6 +140,11 @@ def path_to_cigar(path, extended: bool = False) -> str:
     arr = np.asarray(path, dtype=np.int64)
     if arr.size == 0:
         return ""
+    if arr.min() < 0 or arr.max() > 3:
+        # keep the dict-lookup era's loud failure: a sentinel/padding value
+        # in a path must crash here, not wrap into a plausible CIGAR
+        raise ValueError(f"invalid alignment state code in path "
+                         f"(range [{arr.min()}, {arr.max()}])")
     ops = (_CIGAR_LUT_EXTENDED if extended else _CIGAR_LUT_COMPACT)[arr]
     brk = np.flatnonzero(ops[1:] != ops[:-1])
     starts = np.concatenate([[0], brk + 1])

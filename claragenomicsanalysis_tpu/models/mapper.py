@@ -115,14 +115,14 @@ def _similarity_batch(pairs: list[tuple[str, str]], k: int) -> np.ndarray:
     def seg_ok(codes, lens):
         """per-row all-ACGT flag, without per-row numpy calls"""
         ok = np.ones(n, dtype=bool)
-        offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
-        nz = lens > 0
-        if codes.size:
-            # clip so trailing empty segments can't index past the end;
-            # their junk minima are masked out by nz
-            mins = np.minimum.reduceat(codes, np.minimum(offs,
-                                                         codes.size - 1))
-            ok[nz] = mins[nz] >= 0
+        nz = np.flatnonzero(lens > 0)
+        if nz.size:
+            # reduceat over the NONZERO rows' offsets only: they are
+            # strictly increasing and in-bounds, and each segment then
+            # spans exactly that row's codes (empty rows contribute no
+            # codes), so the last row's final character is never dropped
+            offs = np.concatenate([[0], np.cumsum(lens)])[:-1]
+            ok[nz] = np.minimum.reduceat(codes, offs[nz]) >= 0
         return ok
 
     fast = (la >= k) & (lb >= k) & seg_ok(ca, la) & seg_ok(cb, lb)

@@ -334,3 +334,14 @@ def test_build_index_packed_sort_bit_equal():
             np.asarray(b["read_id"])[:n])
         np.testing.assert_array_equal((pk & 0xFFFF).astype(np.int32),
                                       np.asarray(b["pos"])[:n])
+
+
+def test_similarity_batch_trailing_n_and_empty_pairs():
+    """Review regression: a trailing empty pair must not truncate the last
+    non-empty flank's all-ACGT scan (an 'N' as its final character leaked a
+    negative code into the packed k-mer values and scored spuriously)."""
+    from claragenomicsanalysis_tpu.models.mapper import (_similarity_batch,
+                                                         sequence_similarity)
+    got = _similarity_batch([("AACN", "AAAT"), ("", "")], 4)
+    assert list(got) == [sequence_similarity("AACN", "AAAT", 4), 0.0]
+    assert got[0] == 0.0  # the N k-mer must not collide with "AAAT"

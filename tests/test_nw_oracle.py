@@ -77,3 +77,13 @@ def test_format_alignment():
     lines = view.splitlines()
     assert lines[0].replace("-", "") == "ACGT"
     assert lines[2].replace("-", "") == "AGT"
+
+
+def test_path_to_cigar_rejects_sentinel_codes():
+    """Review regression: the vectorized LUT must keep the dict era's loud
+    failure — a -1 sentinel in a path raises, never wraps into '1D'."""
+    import pytest
+    with pytest.raises(ValueError):
+        nw.path_to_cigar([-1])
+    with pytest.raises(ValueError):
+        nw.path_to_cigar([0, 4])
