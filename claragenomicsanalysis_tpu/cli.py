@@ -351,8 +351,20 @@ def main(argv=None) -> int:
 
 def _console_entry() -> None:
     """pip console-script entry point (pyproject [project.scripts])."""
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(141)   # 128 + SIGPIPE
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        # stdout piped into a consumer that closed early (e.g. `| head`):
+        # the conventional quiet exit, not a traceback
+        import os
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(141)   # 128 + SIGPIPE
