@@ -399,6 +399,13 @@ class Overlapper:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap, pack2=pack2)
+        return Overlapper.compact_rows(out)
+
+    @staticmethod
+    def compact_rows(out: dict) -> np.ndarray:
+        """Compact a masked chain-output dict (device-resident) to the
+        canonical (8, n_valid) host array — one small download."""
+        with trace_range("mapper.compact"):
             C = out["valid"].shape[0]
             if C <= (1 << 21):
                 # small capacity: the fused 9-operand compaction sort is one
@@ -598,6 +605,22 @@ class Overlapper:
             for o, sp in zip(overlaps, spans)]
 
 
+def _mesh_overlap_rows(qidx: Index, tidx: Index, cfg: MapperConfig,
+                       mesh, cap: int, pack2: bool):
+    """Mesh pair step: rep-sharded matching + query-sharded chaining (ONE
+    all_to_all routes anchors to the shard owning their query-id range —
+    parallel/shard.sharded_match_chain), then the shared compaction.
+    Output rows are bit-identical to the single-device path (tests)."""
+    from ..parallel.shard import sharded_match_chain
+    with trace_range("mapper.match_chain_mesh"):
+        out, overflow = sharded_match_chain(
+            qidx._arrays, tidx._arrays, cfg, mesh, cap=cap, pack2=pack2,
+            n_query_reads=len(qidx.read_lengths))
+    status = (StatusType.EXCEEDED_MAX_ANCHORS if overflow
+              else StatusType.SUCCESS)
+    return Overlapper.compact_rows(out), status
+
+
 @dataclass
 class MapResult:
     overlaps: list[Overlap]
@@ -638,8 +661,13 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     # touched by the single producer thread.
     all_rows = []
     for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
-        matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
-                                         mesh=mesh)
+        if mesh is not None and mesh.shape.get("rep", 1) > 1:
+            rows, st = _mesh_overlap_rows(qidx, tidx, cfg, mesh,
+                                          max_anchors, _pack2_ok(qidx, tidx))
+            statuses.append(st)
+            all_rows.append(rows)
+            continue
+        matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors)
         statuses.append(matcher.status)
         all_rows.append(Overlapper.get_overlap_rows(
             matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))
@@ -674,8 +702,14 @@ def map_query_vs_target(query_parser: FastaParser,
         qidx = cache.get_or_create(query_parser, qf, ql, cfg)
         for (tf, tl) in tchunks:
             tidx = cache.get_or_create(target_parser, tf, tl, cfg)
-            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
-                                             mesh=mesh)
+            if mesh is not None and mesh.shape.get("rep", 1) > 1:
+                rows, st = _mesh_overlap_rows(
+                    qidx, tidx, cfg, mesh, max_anchors,
+                    _pack2_ok(qidx, tidx))
+                statuses.append(st)
+                all_rows.append(rows)
+                continue
+            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors)
             statuses.append(matcher.status)
             all_rows.append(Overlapper.get_overlap_rows(
                 matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx)))

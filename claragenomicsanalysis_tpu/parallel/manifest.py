@@ -48,11 +48,17 @@ def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
                 continue
             qidx = cache.get_or_create(parser, qf, ql, cfg)
             tidx = cache.get_or_create(parser, tf, tl, cfg)
-            matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
-                                             mesh=mesh)
-            from ..models.mapper import _pack2_ok
-            overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg,
-                                               pack2=_pack2_ok(qidx, tidx))
+            from ..models.mapper import _mesh_overlap_rows, _pack2_ok
+            if mesh is not None and mesh.shape.get("rep", 1) > 1:
+                rows, _ = _mesh_overlap_rows(qidx, tidx, cfg, mesh,
+                                             max_anchors,
+                                             _pack2_ok(qidx, tidx))
+                overlaps = Overlapper.rows_to_overlaps(rows)
+            else:
+                matcher = Matcher.create_matcher(qidx, tidx, cfg,
+                                                 cap=max_anchors)
+                overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg,
+                                                   pack2=_pack2_ok(qidx, tidx))
             with open(os.path.join(work_dir, name + ".jsonl"), "w") as f:
                 for o in overlaps:
                     f.write(json.dumps(o.__dict__) + "\n")

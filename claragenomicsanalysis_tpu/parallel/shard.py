@@ -9,9 +9,15 @@ The matcher is the interesting one: the target index is sharded by sorted
 representation BLOCKS over the 'rep' axis (contiguous slices of the sorted
 element arrays — block boundaries may split a representation run, which is
 harmless: each shard emits its part of the cross product and the union is
-exactly the full anchor set).  Queries are replicated; per-shard anchors are
-all-gathered and chained globally (chaining re-sorts on full keys, so anchor
-arrival order cannot change results).
+exactly the full anchor set).  Queries are replicated.  Each shard's anchors
+then travel to the shard owning their QUERY-READ range with one
+lax.all_to_all (SURVEY.md §2.7's Ulysses-style exchange), so the triggered
+chain — whose anchor sort is the mapper's dominant device stage — runs on
+~1/N of the anchors per shard instead of being replicated over an
+all-gathered copy.  Chains cannot straddle shards (a chain lives inside one
+(q_read, t_read, dir) group and routing is by q_read); capacities come from
+a counting pre-pass, mirroring the engine's adaptive pow2-capacity
+discipline.
 """
 
 import functools
@@ -137,20 +143,179 @@ def sharded_anchors(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
         skip_self=cfg.skip_self_mappings, mesh=mesh)
 
 
-def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
-                        cap: int = 1 << 18):
-    """Rep-sharded matching + replicated chaining.  Returns the same masked
-    overlap dict as ops.map_ops.chain_anchors."""
+def _chain_kwargs(cfg) -> dict:
     from fractions import Fraction
-    anchors, total, overflow = sharded_anchors(
-        qidx_arrays, tidx_arrays, cfg, mesh, cap=cap // mesh.shape["rep"])
-
     frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
-    out = map_ops.chain_anchors(
-        anchors, k=cfg.kmer_size, min_residues=cfg.min_residues,
-        min_overlap_len=cfg.min_overlap_len,
-        min_bases_per_residue=cfg.min_bases_per_residue,
-        min_overlap_fraction_num=frac.numerator,
-        min_overlap_fraction_den=frac.denominator,
-        max_gap=cfg.max_anchor_gap)
-    return {k: np.asarray(v) for k, v in out.items()}, bool(overflow)
+    return dict(k=cfg.kmer_size, min_residues=cfg.min_residues,
+                min_overlap_len=cfg.min_overlap_len,
+                min_bases_per_residue=cfg.min_bases_per_residue,
+                min_overlap_fraction_num=frac.numerator,
+                min_overlap_fraction_den=frac.denominator,
+                max_gap=cfg.max_anchor_gap)
+
+
+def _pad_target_for_rep(tidx_arrays: dict, n_rep: int) -> dict:
+    """Pad the sorted target element arrays to a multiple of n_rep (pad
+    elements carry rep=INVALID at the tail, so no query rep ever selects
+    them) so the leading dim splits evenly over the 'rep' axis."""
+    Ct = np.asarray(tidx_arrays["rep"]).shape[0]
+    Ctp = round_up(Ct, n_rep)
+    tpad = {}
+    for k, v in tidx_arrays.items():
+        v = np.asarray(v)
+        if k in ("n_elems", "first_read"):
+            tpad[k] = v
+            continue
+        fill = (np.array(0xFFFFFFFF, v.dtype) if k == "rep"
+                else np.zeros((), v.dtype))
+        tpad[k] = np.concatenate([v, np.full(Ctp - Ct, fill, v.dtype)])
+    return tpad
+
+
+@functools.partial(jax.jit, static_argnames=("mesh",))
+def _routed_sizes(qidx, tidx, qid0, n_reads, mesh: Mesh):
+    """Counting pre-pass (no anchor expansion): per-shard anchor totals and
+    per-(shard, dest) routing-bucket counts, so the routed pass below can
+    compile at the TRUE pow2 capacities — the mesh analog of the engine's
+    match_count -> sync -> match_expand adaptive-capacity discipline.
+    Counts ignore skip_self (applied at expansion), so they are safe upper
+    bounds."""
+    n_rep = mesh.shape["rep"]
+
+    def body(q_arrays, t_arrays, qid0, n_reads):
+        lo, cum, total = map_ops.match_count(q_arrays, t_arrays)
+        cnt = cum[1:] - cum[:-1]                       # per query element
+        dest = jnp.clip((q_arrays["read_id"] - qid0) * n_rep // n_reads,
+                        0, n_rep - 1)
+        # n_rep masked sums (a scatter-add with millions of duplicate
+        # indices serializes on TPU; n_rep is tiny)
+        buckets = jnp.stack([jnp.sum(jnp.where(dest == d, cnt, 0))
+                             for d in range(n_rep)])
+        return (jax.lax.all_gather(buckets, "rep", axis=0),
+                jax.lax.all_gather(total, "rep", axis=0))
+
+    q_spec = {k: P() for k in qidx}
+    t_spec = {k: P() if k in ("n_elems", "first_read") else P(("rep",))
+              for k in tidx}
+    return shard_map(body, mesh=mesh, in_specs=(q_spec, t_spec, P(), P()),
+                     out_specs=(P(), P()), check_vma=False)(
+        qidx, tidx, qid0, n_reads)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cap_local", "c_send", "skip_self", "pack2",
+                              "mesh", "chain_statics"))
+def _routed_match_chain(qidx, tidx, qid0, n_reads, cap_local: int,
+                        c_send: int, skip_self: bool, pack2: bool,
+                        mesh: Mesh, chain_statics: tuple):
+    """shard_map body: rep-sharded matching, ONE all_to_all routing anchors
+    to the shard owning their query-read range, then a LOCAL triggered
+    chain per shard (see sharded_match_chain)."""
+    n_rep = mesh.shape["rep"]
+    chain_kw = dict(chain_statics)
+
+    def body(q_arrays, t_arrays, qid0, n_reads):
+        anchors, total, overflow = map_ops.match_anchors(
+            q_arrays, t_arrays, cap=cap_local, skip_self=skip_self)
+        # ---- route anchors to the shard owning their query-id range
+        v = anchors["valid"]
+        dest = jnp.clip((anchors["q_read"] - qid0) * n_rep // n_reads,
+                        0, n_rep - 1)
+        dest = jnp.where(v, dest, n_rep)       # park invalid rows at the end
+        iota = jnp.arange(dest.shape[0], dtype=jnp.int32)
+        _, perm = jax.lax.sort((dest, iota), num_keys=1, is_stable=True)
+        counts = jnp.bincount(dest, length=n_rep + 1)[:n_rep].astype(jnp.int32)
+        offs = jnp.concatenate(
+            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        j = jnp.arange(c_send, dtype=jnp.int32)
+        idx = offs[:-1, None] + j[None, :]            # (n_rep, c_send)
+        in_bucket = j[None, :] < counts[:, None]
+        src = perm[jnp.clip(idx, 0, dest.shape[0] - 1)]
+        overflow |= jnp.any(counts > c_send)          # dropped rows -> retry
+
+        def exchange(x, fill):
+            g = jnp.where(in_bucket, x[src], fill)
+            return jax.lax.all_to_all(g, "rep", split_axis=0,
+                                      concat_axis=0, tiled=True).reshape(-1)
+
+        routed = {k: exchange(anchors[k], 0)
+                  for k in ("q_read", "t_read", "q_pos", "t_pos", "dir")}
+        routed["valid"] = exchange(v.astype(jnp.int8), 0).astype(bool)
+
+        # ---- local chain: only this shard's query ids (chains can't
+        # straddle shards — a chain lives inside one (q,t,dir) group)
+        out = map_ops.chain_anchors(routed, pack2=pack2, **chain_kw)
+        total = jax.lax.psum(total, "rep")
+        overflow = jax.lax.psum(overflow.astype(jnp.int32), "rep") > 0
+        return out, total, overflow
+
+    q_spec = {k: P() for k in qidx}
+    t_spec = {k: P() if k in ("n_elems", "first_read") else P(("rep",))
+              for k in tidx}
+    out_fields = list(map_ops.OVERLAP_FIELDS) + ["valid"]
+    return shard_map(
+        body, mesh=mesh,
+        in_specs=(q_spec, t_spec, P(), P()),
+        out_specs=({k: P(("rep",)) for k in out_fields}, P(), P()),
+        check_vma=False,  # totals/overflow replicated by psum
+    )(qidx, tidx, qid0, n_reads)
+
+
+def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
+                        cap: int = 1 << 18, pack2: bool = False,
+                        route: bool = True,
+                        n_query_reads: int | None = None):
+    """Rep-sharded matching + QUERY-sharded chaining over the 'rep' axis.
+
+    route=True (default): after per-shard anchor expansion, anchors travel
+    to the shard owning their query-read range with ONE lax.all_to_all (the
+    Ulysses-style exchange of SURVEY §2.7) and each shard runs the
+    triggered chain on ONLY its queries — the chain's dominant sort runs on
+    ~2*cap/N rows per shard instead of being replicated over N*cap
+    all-gathered rows.  Chains cannot straddle shards (a chain lives inside
+    one (q_read, t_read, dir) group and routing is by q_read), and the
+    merged masked output compacts to the same canonical overlap set
+    bit-for-bit (asserted vs the 1-device path by tests/test_parallel.py).
+
+    route=False keeps the round-1 formulation (anchors all-gathered,
+    chain replicated) for comparison.
+
+    Returns (masked overlap dict as ops.map_ops.chain_anchors — device
+    resident, fields shaped (n_rep * c_send,) — and an overflow bool).
+    Capacities come from a cheap counting pre-pass synced to the host
+    (exact upper bounds, pow2-bucketed), so overflow only fires when the
+    true anchor count exceeds the caller's `cap` — the same
+    EXCEEDED_MAX_ANCHORS contract as the single-device path."""
+    n_rep = mesh.shape["rep"]
+    if not route:
+        anchors, total, overflow = sharded_anchors(
+            qidx_arrays, tidx_arrays, cfg, mesh, cap=cap // n_rep)
+        out = map_ops.chain_anchors(anchors, pack2=False,
+                                    **_chain_kwargs(cfg))
+        return {k: np.asarray(v) for k, v in out.items()}, bool(overflow)
+
+    qj = {k: jnp.asarray(np.asarray(v)) for k, v in qidx_arrays.items()}
+    tj = {k: jnp.asarray(v)
+          for k, v in _pad_target_for_rep(tidx_arrays, n_rep).items()}
+    qid0 = int(np.asarray(qidx_arrays["first_read"]))
+    if n_query_reads is None:
+        rid = np.asarray(qidx_arrays["read_id"])
+        ne = int(np.asarray(qidx_arrays["n_elems"]))
+        n_query_reads = max(int(rid[:ne].max()) + 1 - qid0, 1) if ne else 1
+    chain_statics = tuple(sorted(_chain_kwargs(cfg).items()))
+
+    buckets, totals = _routed_sizes(qj, tj, jnp.int32(qid0),
+                                    jnp.int32(n_query_reads), mesh)
+    max_local = int(np.max(np.asarray(totals)))
+    max_bucket = int(np.max(np.asarray(buckets)))
+    overflow_cap = int(np.sum(np.asarray(totals))) > cap
+    pw2 = lambda x: 1 << (max(int(x), 1) - 1).bit_length()  # noqa: E731
+    cap_local = min(max(1024, pw2(max_local)), max(1024, pw2(cap)))
+    c_send = min(max(1024, pw2(max_bucket)), cap_local)
+
+    out, total, overflow = _routed_match_chain(
+        qj, tj, jnp.int32(qid0), jnp.int32(n_query_reads),
+        cap_local=cap_local, c_send=c_send,
+        skip_self=cfg.skip_self_mappings, pack2=pack2, mesh=mesh,
+        chain_statics=chain_statics)
+    return out, bool(overflow) or overflow_cap

@@ -126,3 +126,45 @@ def test_index_store_roundtrip(rng, tmp_path):
     assert index_key(p, 0, 6, CFG) != index_key(p, 0, 5, CFG)
     cfg2 = MapperConfig(kmer_size=8, window_size=4)
     assert index_key(p, 0, 6, CFG) != index_key(p, 0, 6, cfg2)
+
+
+def test_routed_chain_equals_legacy_and_single_device(rng):
+    """The query-routed (all_to_all) match+chain must produce EXACTLY the
+    overlap set of (a) the legacy all-gather+replicated-chain formulation
+    and (b) the plain 1-device driver — across enough reads that every
+    shard owns a real query range and buckets take uneven loads."""
+    seqs = _sim_reads(rng, n=24, glen=1500, rlen=220)
+    p = _parser(seqs)
+    idx = Index.create_index(p, 0, len(seqs), CFG)
+    mesh = make_mesh(data=1, rep=8)
+
+    def keyset(out):
+        sel = np.nonzero(np.asarray(out["valid"]))[0]
+        return sorted(
+            tuple(int(np.asarray(out[f])[i]) for f in
+                  ("q_read", "t_read", "dir", "q_start", "q_end",
+                   "t_start", "t_end", "n_res")) for i in sel)
+
+    routed, ov_r = sharded_match_chain(idx._arrays, idx._arrays, CFG, mesh,
+                                       cap=1 << 16, route=True)
+    legacy, ov_l = sharded_match_chain(idx._arrays, idx._arrays, CFG, mesh,
+                                       cap=1 << 16, route=False)
+    assert not ov_r and not ov_l
+    assert keyset(routed) == keyset(legacy)
+
+    res1 = map_all_vs_all(p, CFG)
+    res8 = map_all_vs_all(p, CFG, mesh=mesh)
+    assert [o.key() for o in res8.overlaps] == [o.key() for o in res1.overlaps]
+    assert np.array_equal(res8.rows, res1.rows)
+
+
+def test_routed_chain_overflow_flag(rng):
+    """An anchor count above the caller's cap must surface as overflow from
+    the routed path (the EXCEEDED_MAX_ANCHORS contract)."""
+    seqs = _sim_reads(rng, n=10)
+    p = _parser(seqs)
+    idx = Index.create_index(p, 0, len(seqs), CFG)
+    mesh = make_mesh(data=1, rep=8)
+    _, overflow = sharded_match_chain(idx._arrays, idx._arrays, CFG, mesh,
+                                      cap=64, route=True)
+    assert overflow
