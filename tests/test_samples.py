@@ -84,3 +84,10 @@ def test_pipeline_cigars_are_exact():
             if op in "MD":
                 tc += n
         assert qc == qspan and tc == tspan, line
+
+
+def test_sample_correct_golden():
+    """BASELINE config #5 anchor: the read-correction CLI end-to-end on the
+    bundled reads, byte-for-byte (map -> windows -> POA polish)."""
+    out = _run(["correct", f"{DATA}/sample_reads.fasta"] + MAP_ARGS)
+    assert out == _golden("sample_corrected.fasta")
