@@ -1,0 +1,82 @@
+"""Reproducible large-scale all-vs-all mapping bench (the BASELINE.md
+"mapper at scale" row): N reads x L bp noisy reads at a given coverage,
+through the real map_all_vs_all driver, reporting warm wall time, Mbp/s,
+overlaps/s and the host-vs-device wall split (the stage registry's
+match/chain/compact ranges include dispatch+wait; everything else —
+parsing, sketch packing, host merge — is host time).
+
+Default shape matches the round-2 record run: 10k x 10 kb (100 Mbp, ~20x
+coverage of a 5 Mbp genome).  --mbp 20 gives the bench_all.py medium config.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from claragenomicsanalysis_tpu.core.config import MapperConfig
+from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all
+from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                  PoissonGenomeSimulator)
+from claragenomicsanalysis_tpu.utils.profiling import (reset_stage_timings,
+                                                       stage_timings)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mbp", type=float, default=100.0,
+                    help="total bases, Mbp (reads = mbp/read-len)")
+    ap.add_argument("--read-len", type=int, default=10_000)
+    ap.add_argument("--coverage", type=float, default=20.0)
+    ap.add_argument("--error-rate", type=float, default=0.05)
+    ap.add_argument("--runs", type=int, default=2,
+                    help="timed runs after the compile run (report best)")
+    args = ap.parse_args()
+
+    total_bases = int(args.mbp * 1e6)
+    n_reads = max(2, total_bases // args.read_len)
+    glen = max(args.read_len, int(total_bases / args.coverage))
+    print(f"simulating {n_reads} x {args.read_len} bp "
+          f"({total_bases/1e6:.0f} Mbp, genome {glen/1e6:.2f} Mbp)...",
+          flush=True)
+    genome = PoissonGenomeSimulator(seed=11).build_reference(glen)
+    sim = NoisyReadSimulator(seed=11, error_rate=args.error_rate)
+    reads = [r.seq for r in sim.generate_reads(genome, n_reads,
+                                               args.read_len)]
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
+    cfg = MapperConfig()
+
+    best = None
+    for run in range(args.runs + 1):
+        reset_stage_timings()
+        t0 = time.perf_counter()
+        res = map_all_vs_all(parser, cfg)
+        wall = time.perf_counter() - t0
+        st = stage_timings()
+        device_s = sum(v["total_s"] for k, v in st.items()
+                       if k.startswith("mapper."))
+        label = "compile" if run == 0 else f"run {run}"
+        line = {
+            "label": label, "wall_s": round(wall, 2),
+            "mbp_per_s": round(total_bases / wall / 1e6, 2),
+            "overlaps": len(res.overlaps),
+            "overlaps_per_s": round(len(res.overlaps) / wall, 1),
+            "device_stage_s": round(device_s, 2),
+            "host_s": round(wall - device_s, 2),
+            "host_frac": round((wall - device_s) / wall, 3),
+            "stages": {k: round(v["total_s"], 2) for k, v in st.items()},
+        }
+        print(json.dumps(line), flush=True)
+        if run > 0 and (best is None or wall < best["wall_s"]):
+            best = line
+    print(json.dumps({"metric": "all-vs-all mapping Mbp/s (scale run)",
+                      "value": best["mbp_per_s"], "unit": "Mbp/s",
+                      "best": best}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
