@@ -50,3 +50,56 @@ out = jax.jit(shard_map(local_fn, mesh=mesh, in_specs=P(("data",)),
 got = np.asarray(out.addressable_data(0)).reshape(-1)
 assert got.shape == (2,) and (got == 28.0).all(), got
 print(f"proc{pid} OK: global reduction {got.tolist()}")
+
+# ---- full routed mapper across the process boundary (parallel/shard.py's
+# all_to_all chain path on a 'rep' axis that SPANS processes): every field
+# checksum of the sharded global overlap output must equal the plain
+# single-device computation each process derives independently.
+from claragenomicsanalysis_tpu.core.config import MapperConfig  # noqa: E402
+from claragenomicsanalysis_tpu.io.fasta import (FastaParser,  # noqa: E402
+                                                FastaSequence)
+from claragenomicsanalysis_tpu.models.mapper import Index  # noqa: E402
+from claragenomicsanalysis_tpu.ops import map_ops  # noqa: E402
+from claragenomicsanalysis_tpu.parallel.shard import (  # noqa: E402
+    _chain_kwargs, sharded_match_chain)
+from claragenomicsanalysis_tpu.simulators import (  # noqa: E402
+    NoisyReadSimulator, PoissonGenomeSimulator)
+
+cfg = MapperConfig(kmer_size=7, window_size=4, min_residues=3,
+                   min_overlap_len=30, min_overlap_fraction=0.5,
+                   min_bases_per_residue=1000)
+genome = PoissonGenomeSimulator(seed=9).build_reference(900)
+sim = NoisyReadSimulator(seed=9, error_rate=0.02)
+reads = [r.seq for r in sim.generate_reads(genome, 12, 150)]
+parser = FastaParser("<mem>", records=[
+    FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
+idx = Index.create_index(parser, 0, len(reads), cfg)
+
+mesh4 = make_global_mesh(rep=4)          # rep axis spans both processes
+out, overflow = sharded_match_chain(idx._arrays, idx._arrays, cfg, mesh4,
+                                    cap=1 << 14)
+assert not overflow
+
+FIELDS = list(map_ops.OVERLAP_FIELDS)
+
+
+def _checks(out):
+    """Replicated scalars over the (possibly process-spanning) output."""
+    v = out["valid"]
+    cnt = int(np.asarray(jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))(v)))
+    sums = [int(np.asarray(jax.jit(
+        lambda f, m: jnp.sum(jnp.where(m, f, 0) * jnp.where(m, f, 0)
+                             + jnp.where(m, f, 0)))(out[f], v)))
+        for f in FIELDS]
+    return [cnt] + sums
+
+
+anchors, total, ov = map_ops.match_anchors(
+    {k: jnp.asarray(np.asarray(v)) for k, v in idx._arrays.items()},
+    {k: jnp.asarray(np.asarray(v)) for k, v in idx._arrays.items()},
+    cap=1 << 14, skip_self=cfg.skip_self_mappings)
+expected = map_ops.chain_anchors(anchors, pack2=False, **_chain_kwargs(cfg))
+got, want = _checks(out), _checks(expected)
+assert got == want and got[0] > 0, (got, want)
+print(f"proc{pid} OK: routed map across processes, "
+      f"{got[0]} overlaps checksum-equal")
