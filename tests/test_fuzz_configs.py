@@ -58,3 +58,41 @@ def test_mapper_seed_fuzz(seed):
     res = map_all_vs_all(parser, cfg)
     want = mapper_oracle.map_all_vs_all(seqs, cfg)
     assert [o.key() for o in res.overlaps] == [o.key() for o in want]
+
+
+@pytest.mark.parametrize("seed", [13, 71])
+def test_mapper_seed_fuzz_mesh_routed(seed):
+    """Same differential fuzz through the query-routed mesh path: the
+    8-fake-device output must equal the oracle exactly."""
+    from claragenomicsanalysis_tpu.parallel import make_mesh
+    genome = PoissonGenomeSimulator(seed=seed).build_reference(2500)
+    sim = NoisyReadSimulator(seed=seed, error_rate=0.04)
+    seqs = [r.seq for r in sim.generate_reads(genome, 10, 400)]
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(f"r{i}", s) for i, s in enumerate(seqs)])
+    cfg = MapperConfig(kmer_size=11, window_size=4, min_residues=2,
+                       min_overlap_len=40, min_overlap_fraction=0.2,
+                       min_bases_per_residue=1000,
+                       filtering_parameter=0.2)
+    res = map_all_vs_all(parser, cfg, mesh=make_mesh(data=1, rep=8))
+    want = mapper_oracle.map_all_vs_all(seqs, cfg)
+    assert [o.key() for o in res.overlaps] == [o.key() for o in want]
+
+
+def test_mapper_unhashed_and_dense_window():
+    """Config corners: unhashed representations (true 2k-bit compare) and
+    w=1 (every k-mer is a minimizer) both match the oracle."""
+    genome = PoissonGenomeSimulator(seed=3).build_reference(1200)
+    sim = NoisyReadSimulator(seed=3, error_rate=0.03)
+    seqs = [r.seq for r in sim.generate_reads(genome, 8, 250)]
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(f"r{i}", s) for i, s in enumerate(seqs)])
+    for kw in (dict(kmer_size=9, window_size=1),
+               dict(kmer_size=13, window_size=5, hash_representations=False)):
+        cfg = MapperConfig(min_residues=2, min_overlap_len=40,
+                           min_overlap_fraction=0.2,
+                           min_bases_per_residue=1000, **kw)
+        res = map_all_vs_all(parser, cfg)
+        want = mapper_oracle.map_all_vs_all(seqs, cfg)
+        assert [o.key() for o in res.overlaps] == [o.key() for o in want]
+        assert res.overlaps
