@@ -398,7 +398,8 @@ class Overlapper:
                 min_bases_per_residue=cfg.min_bases_per_residue,
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
-                max_gap=cfg.max_anchor_gap, pack2=pack2)
+                max_gap=cfg.max_anchor_gap, pack2=pack2,
+                sort_backend=cfg.chain_sort_backend)
         return Overlapper.compact_rows(out)
 
     @staticmethod

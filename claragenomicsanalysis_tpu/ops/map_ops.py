@@ -220,12 +220,12 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
 @functools.partial(jax.jit, static_argnames=(
     "k", "min_residues", "min_overlap_len", "min_bases_per_residue",
     "min_overlap_fraction_num", "min_overlap_fraction_den", "max_gap",
-    "pack2"))
+    "pack2", "sort_backend"))
 def chain_anchors(anchors: dict, k: int, min_residues: int,
                   min_overlap_len: int, min_bases_per_residue: int,
                   min_overlap_fraction_num: int,
                   min_overlap_fraction_den: int, max_gap: int,
-                  pack2: bool = False):
+                  pack2: bool = False, sort_backend: str = "xla"):
     """Triggered chaining.  Returns dict of (cap,) overlap field arrays with
     a validity mask (compaction happens on host where the list is small).
 
@@ -240,7 +240,8 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     if pack2:
         return _chain_anchors_packed(
             anchors, k, min_residues, min_overlap_len, min_bases_per_residue,
-            min_overlap_fraction_num, min_overlap_fraction_den, max_gap)
+            min_overlap_fraction_num, min_overlap_fraction_den, max_gap,
+            sort_backend)
     v = anchors["valid"]
     qid = jnp.where(v, anchors["q_read"], I32MAX)
     tid = jnp.where(v, anchors["t_read"], I32MAX)
@@ -272,7 +273,8 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
 
 def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
                           min_bases_per_residue, min_overlap_fraction_num,
-                          min_overlap_fraction_den, max_gap):
+                          min_overlap_fraction_den, max_gap,
+                          sort_backend="xla"):
     """pack2 path of chain_anchors: 2-operand uint32 sort (see docstring)."""
     UMAX = jnp.uint32(0xFFFFFFFF)
     v = anchors["valid"]
@@ -285,8 +287,15 @@ def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
     key2 = jnp.where(v, (anchors["q_pos"].astype(jnp.uint32) << 16) | st16,
                      UMAX)
     # all operands are keys and equal key pairs are fully identical
-    # anchors, so an unstable sort is bit-identical in effect
-    key1, key2 = jax.lax.sort((key1, key2), num_keys=2, is_stable=False)
+    # anchors, so an unstable sort is bit-identical in effect — which also
+    # makes the Pallas bitonic backend a drop-in (same sorted array)
+    C = key1.shape[0]
+    if sort_backend == "pallas" and C & (C - 1) == 0 and C >= 1024:
+        from .sort_pallas import bitonic_sort_pairs
+        interp = jax.default_backend() != "tpu"
+        key1, key2 = bitonic_sort_pairs(key1, key2, interpret=interp)
+    else:
+        key1, key2 = jax.lax.sort((key1, key2), num_keys=2, is_stable=False)
     v = key1 != UMAX
     k1 = key1.astype(jnp.int32)            # valid keys are < 2^31
     d = jnp.where(v, k1 & 1, I32MAX)

@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--error-rate", type=float, default=0.05)
     ap.add_argument("--runs", type=int, default=2,
                     help="timed runs after the compile run (report best)")
+    ap.add_argument("--chain-sort", default="xla", choices=["xla", "pallas"],
+                    help="anchor-sort kernel for the chain stage")
     args = ap.parse_args()
 
     total_bases = int(args.mbp * 1e6)
@@ -48,7 +50,7 @@ def main():
                                                args.read_len)]
     parser = FastaParser("<mem>", records=[
         FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
-    cfg = MapperConfig()
+    cfg = MapperConfig(chain_sort_backend=args.chain_sort)
 
     best = None
     for run in range(args.runs + 1):

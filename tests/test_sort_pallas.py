@@ -54,3 +54,25 @@ def test_chain_sort_shaped_keys(rng):
     k1[inv] = np.uint32(0xFFFFFFFF)
     k2[inv] = np.uint32(0xFFFFFFFF)
     _check(k1, k2, 11)
+
+
+def test_chain_sort_backend_end_to_end(rng):
+    """MapperConfig(chain_sort_backend='pallas') must reproduce the default
+    driver's overlaps exactly (interpret-mode kernel on CPU)."""
+    from claragenomicsanalysis_tpu.core.config import MapperConfig
+    from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
+    from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all
+    from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
+                                                      PoissonGenomeSimulator)
+    genome = PoissonGenomeSimulator(seed=21).build_reference(1200)
+    sim = NoisyReadSimulator(seed=21, error_rate=0.03)
+    seqs = [r.seq for r in sim.generate_reads(genome, 8, 250)]
+    parser = FastaParser("<mem>", records=[
+        FastaSequence(f"r{i}", s) for i, s in enumerate(seqs)])
+    kw = dict(kmer_size=9, window_size=4, min_residues=2, min_overlap_len=40,
+              min_overlap_fraction=0.2, min_bases_per_residue=1000)
+    ref = map_all_vs_all(parser, MapperConfig(**kw))
+    got = map_all_vs_all(parser,
+                         MapperConfig(chain_sort_backend="pallas", **kw))
+    assert [o.key() for o in got.overlaps] == [o.key() for o in ref.overlaps]
+    assert got.overlaps
