@@ -28,6 +28,9 @@ def _add_mapper_flags(p):
     p.add_argument("--min-bases-per-residue", type=int, default=100)
     p.add_argument("--max-anchor-gap", type=int, default=5000)
     p.add_argument("--no-hashing", action="store_true")
+    p.add_argument("--chain-sort", default="xla", choices=["xla", "pallas"],
+                   help="anchor-sort kernel for the chain stage "
+                        "(bit-identical; perf knob)")
 
 
 def _cli_mesh(args):
@@ -55,7 +58,8 @@ def _mapper_cfg(args) -> MapperConfig:
         min_overlap_fraction=args.min_overlap_fraction,
         min_bases_per_residue=args.min_bases_per_residue,
         max_anchor_gap=args.max_anchor_gap,
-        index_size_mb=args.index_size)
+        index_size_mb=args.index_size,
+        chain_sort_backend=args.chain_sort)
 
 
 def cmd_align(args) -> int:
