@@ -354,7 +354,8 @@ def main(argv=None) -> int:
 
 
 def _console_entry() -> None:
-    """pip console-script entry point (pyproject [project.scripts])."""
+    """pip console-script entry point (pyproject [project.scripts]); also
+    the `python -m` epilogue.  Exits quietly on SIGPIPE (`... | head`)."""
     try:
         sys.exit(main())
     except BrokenPipeError:
@@ -364,11 +365,4 @@ def _console_entry() -> None:
 
 
 if __name__ == "__main__":
-    try:
-        sys.exit(main())
-    except BrokenPipeError:
-        # stdout piped into a consumer that closed early (e.g. `| head`):
-        # the conventional quiet exit, not a traceback
-        import os
-        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        sys.exit(141)   # 128 + SIGPIPE
+    _console_entry()

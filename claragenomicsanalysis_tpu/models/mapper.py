@@ -616,7 +616,8 @@ def _mesh_overlap_rows(qidx: Index, tidx: Index, cfg: MapperConfig,
     with trace_range("mapper.match_chain_mesh"):
         out, overflow = sharded_match_chain(
             qidx._arrays, tidx._arrays, cfg, mesh, cap=cap, pack2=pack2,
-            n_query_reads=len(qidx.read_lengths))
+            n_query_reads=len(qidx.read_lengths),
+            first_read=qidx.first_read_id)
     status = (StatusType.EXCEEDED_MAX_ANCHORS if overflow
               else StatusType.SUCCESS)
     return Overlapper.compact_rows(out), status

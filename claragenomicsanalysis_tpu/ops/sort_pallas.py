@@ -92,12 +92,12 @@ def _local_pass(k1, k2, s, j, T, tile_bits):
     return _cmp_exchange(k1, k2, p1, p2, keep_min)
 
 
-def _local_sort_kernel(k1_ref, k2_ref, o1_ref, o2_ref, *, T, logV, stage_hi):
-    """Full bitonic sort of one tile: stages 1..min(logV, stage_hi); all
-    direction bits live inside the tile except the sign from the grid."""
+def _local_sort_kernel(k1_ref, k2_ref, o1_ref, o2_ref, *, T, logV):
+    """Full bitonic sort of one tile (stages 1..logV); all direction bits
+    live inside the tile except the sign carried by the grid index."""
     tile_bits = pl.program_id(0) << logV
     k1, k2 = k1_ref[...], k2_ref[...]
-    for s in range(1, min(logV, stage_hi) + 1):
+    for s in range(1, logV + 1):
         for j in range(s - 1, -1, -1):
             k1, k2 = _local_pass(k1, k2, s, j, T, tile_bits)
     o1_ref[...] = k1
@@ -168,8 +168,7 @@ def bitonic_sort_pairs(k1, k2, logV: int = 17, interpret: bool = False):
         )(x1, x2)
 
     # phase 1: full local sort of every tile (stages 1..logV)
-    s1, s2 = local_call(_local_sort_kernel, s1, s2,
-                        T=T, logV=logV, stage_hi=logn)
+    s1, s2 = local_call(_local_sort_kernel, s1, s2, T=T, logV=logV)
 
     # phase 2: merge stages logV+1..logn — cross passes then the local tail
     for s in range(logV + 1, logn + 1):

@@ -124,20 +124,8 @@ def sharded_anchors(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
     `cap` is the PER-SHARD anchor capacity (shard loads are skewed by the
     rep distribution, so each shard gets the full cap rather than cap/N)."""
     n_rep = mesh.shape["rep"]
-    Ct = np.asarray(tidx_arrays["rep"]).shape[0]
-    Ctp = round_up(Ct, n_rep)
-
-    tpad = {}
-    for k, v in tidx_arrays.items():
-        v = np.asarray(v)
-        if k in ("n_elems", "first_read"):
-            tpad[k] = v
-            continue
-        fill = np.array(0xFFFFFFFF, v.dtype) if k == "rep" else np.zeros((), v.dtype)
-        tpad[k] = np.concatenate([v, np.full(Ctp - Ct, fill, v.dtype)])
-
-    qj = {k: jnp.asarray(np.asarray(v)) for k, v in qidx_arrays.items()}
-    tj = {k: jnp.asarray(v) for k, v in tpad.items()}
+    qj = {k: jnp.asarray(v) for k, v in qidx_arrays.items()}
+    tj = _pad_target_for_rep(tidx_arrays, n_rep)
     return _sharded_match(
         qj, tj, cap=round_up(cap, n_rep) * n_rep,
         skip_self=cfg.skip_self_mappings, mesh=mesh)
@@ -158,18 +146,20 @@ def _chain_kwargs(cfg) -> dict:
 def _pad_target_for_rep(tidx_arrays: dict, n_rep: int) -> dict:
     """Pad the sorted target element arrays to a multiple of n_rep (pad
     elements carry rep=INVALID at the tail, so no query rep ever selects
-    them) so the leading dim splits evenly over the 'rep' axis."""
-    Ct = np.asarray(tidx_arrays["rep"]).shape[0]
+    them) so the leading dim splits evenly over the 'rep' axis.  Device
+    ops only: the index arrays are deliberately device-resident and must
+    not round-trip the host per chunk pair."""
+    Ct = tidx_arrays["rep"].shape[0]
     Ctp = round_up(Ct, n_rep)
     tpad = {}
     for k, v in tidx_arrays.items():
-        v = np.asarray(v)
+        v = jnp.asarray(v)
         if k in ("n_elems", "first_read"):
             tpad[k] = v
             continue
-        fill = (np.array(0xFFFFFFFF, v.dtype) if k == "rep"
-                else np.zeros((), v.dtype))
-        tpad[k] = np.concatenate([v, np.full(Ctp - Ct, fill, v.dtype)])
+        fill = (jnp.array(0xFFFFFFFF, v.dtype) if k == "rep"
+                else jnp.zeros((), v.dtype))
+        tpad[k] = jnp.concatenate([v, jnp.full(Ctp - Ct, fill, v.dtype)])
     return tpad
 
 
@@ -180,7 +170,8 @@ def _routed_sizes(qidx, tidx, qid0, n_reads, mesh: Mesh):
     compile at the TRUE pow2 capacities — the mesh analog of the engine's
     match_count -> sync -> match_expand adaptive-capacity discipline.
     Counts ignore skip_self (applied at expansion), so they are safe upper
-    bounds."""
+    bounds.  Also returns each shard's (lo, cum) sharded over 'rep' so the
+    routed pass reuses them instead of re-running match_count."""
     n_rep = mesh.shape["rep"]
 
     def body(q_arrays, t_arrays, qid0, n_reads):
@@ -193,31 +184,36 @@ def _routed_sizes(qidx, tidx, qid0, n_reads, mesh: Mesh):
         buckets = jnp.stack([jnp.sum(jnp.where(dest == d, cnt, 0))
                              for d in range(n_rep)])
         return (jax.lax.all_gather(buckets, "rep", axis=0),
-                jax.lax.all_gather(total, "rep", axis=0))
+                jax.lax.all_gather(total, "rep", axis=0),
+                lo[None], cum[None])
 
     q_spec = {k: P() for k in qidx}
     t_spec = {k: P() if k in ("n_elems", "first_read") else P(("rep",))
               for k in tidx}
     return shard_map(body, mesh=mesh, in_specs=(q_spec, t_spec, P(), P()),
-                     out_specs=(P(), P()), check_vma=False)(
-        qidx, tidx, qid0, n_reads)
+                     out_specs=(P(), P(), P(("rep",)), P(("rep",))),
+                     check_vma=False)(qidx, tidx, qid0, n_reads)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cap_local", "c_send", "skip_self", "pack2",
                               "mesh", "chain_statics"))
-def _routed_match_chain(qidx, tidx, qid0, n_reads, cap_local: int,
+def _routed_match_chain(qidx, tidx, lo, cum, qid0, n_reads, cap_local: int,
                         c_send: int, skip_self: bool, pack2: bool,
                         mesh: Mesh, chain_statics: tuple):
-    """shard_map body: rep-sharded matching, ONE all_to_all routing anchors
-    to the shard owning their query-read range, then a LOCAL triggered
-    chain per shard (see sharded_match_chain)."""
+    """shard_map body: rep-sharded matching (reusing the pre-pass's lo/cum),
+    ONE all_to_all routing anchors to the shard owning their query-read
+    range, then a LOCAL triggered chain per shard (see
+    sharded_match_chain)."""
     n_rep = mesh.shape["rep"]
     chain_kw = dict(chain_statics)
 
-    def body(q_arrays, t_arrays, qid0, n_reads):
-        anchors, total, overflow = map_ops.match_anchors(
-            q_arrays, t_arrays, cap=cap_local, skip_self=skip_self)
+    def body(q_arrays, t_arrays, lo, cum, qid0, n_reads):
+        lo, cum = lo[0], cum[0]
+        total = cum[-1]
+        overflow = total > cap_local
+        anchors = map_ops.match_expand(q_arrays, t_arrays, lo, cum,
+                                       cap=cap_local, skip_self=skip_self)
         # ---- route anchors to the shard owning their query-id range
         v = anchors["valid"]
         dest = jnp.clip((anchors["q_read"] - qid0) * n_rep // n_reads,
@@ -256,16 +252,17 @@ def _routed_match_chain(qidx, tidx, qid0, n_reads, cap_local: int,
     out_fields = list(map_ops.OVERLAP_FIELDS) + ["valid"]
     return shard_map(
         body, mesh=mesh,
-        in_specs=(q_spec, t_spec, P(), P()),
+        in_specs=(q_spec, t_spec, P(("rep",)), P(("rep",)), P(), P()),
         out_specs=({k: P(("rep",)) for k in out_fields}, P(), P()),
         check_vma=False,  # totals/overflow replicated by psum
-    )(qidx, tidx, qid0, n_reads)
+    )(qidx, tidx, lo, cum, qid0, n_reads)
 
 
 def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
                         cap: int = 1 << 18, pack2: bool = False,
                         route: bool = True,
-                        n_query_reads: int | None = None):
+                        n_query_reads: int | None = None,
+                        first_read: int | None = None):
     """Rep-sharded matching + QUERY-sharded chaining over the 'rep' axis.
 
     route=True (default): after per-shard anchor expansion, anchors travel
@@ -295,18 +292,29 @@ def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
                                     **_chain_kwargs(cfg))
         return {k: np.asarray(v) for k, v in out.items()}, bool(overflow)
 
-    qj = {k: jnp.asarray(np.asarray(v)) for k, v in qidx_arrays.items()}
-    tj = {k: jnp.asarray(v)
-          for k, v in _pad_target_for_rep(tidx_arrays, n_rep).items()}
-    qid0 = int(np.asarray(qidx_arrays["first_read"]))
+    # index arrays stay device-resident (jnp.asarray is a no-op for them);
+    # only the tiny size scalars below sync to the host
+    qj = {k: jnp.asarray(v) for k, v in qidx_arrays.items()}
+    tj = _pad_target_for_rep(tidx_arrays, n_rep)
+    if first_read is None:
+        if "first_read" in qidx_arrays:            # packed index carries it
+            first_read = int(np.asarray(qidx_arrays["first_read"]))
+        else:                                      # unpacked: derive (1 sync)
+            ne = int(np.asarray(qidx_arrays["n_elems"]))
+            rid = np.asarray(qidx_arrays["read_id"])[:ne]
+            first_read = int(rid.min()) if ne else 0
+            if n_query_reads is None:
+                n_query_reads = (int(rid.max()) + 1 - first_read) if ne else 1
+    qid0 = first_read
     if n_query_reads is None:
-        rid = np.asarray(qidx_arrays["read_id"])
         ne = int(np.asarray(qidx_arrays["n_elems"]))
-        n_query_reads = max(int(rid[:ne].max()) + 1 - qid0, 1) if ne else 1
+        rid = np.asarray(qidx_arrays["read_id"])[:ne]
+        n_query_reads = max(int(rid.max()) + 1 - qid0, 1) if ne else 1
+    n_query_reads = max(n_query_reads, 1)
     chain_statics = tuple(sorted(_chain_kwargs(cfg).items()))
 
-    buckets, totals = _routed_sizes(qj, tj, jnp.int32(qid0),
-                                    jnp.int32(n_query_reads), mesh)
+    buckets, totals, lo, cum = _routed_sizes(qj, tj, jnp.int32(qid0),
+                                             jnp.int32(n_query_reads), mesh)
     max_local = int(np.max(np.asarray(totals)))
     max_bucket = int(np.max(np.asarray(buckets)))
     overflow_cap = int(np.sum(np.asarray(totals))) > cap
@@ -315,7 +323,7 @@ def sharded_match_chain(qidx_arrays: dict, tidx_arrays: dict, cfg, mesh: Mesh,
     c_send = min(max(1024, pw2(max_bucket)), cap_local)
 
     out, total, overflow = _routed_match_chain(
-        qj, tj, jnp.int32(qid0), jnp.int32(n_query_reads),
+        qj, tj, lo, cum, jnp.int32(qid0), jnp.int32(n_query_reads),
         cap_local=cap_local, c_send=c_send,
         skip_self=cfg.skip_self_mappings, pack2=pack2, mesh=mesh,
         chain_statics=chain_statics)

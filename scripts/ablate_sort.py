@@ -92,6 +92,7 @@ def main():
     # on-device bit-equality preflight for the Pallas sort (interpret-mode
     # tests can't catch Mosaic-only issues like tile-alignment or the XOR
     # index maps)
+    bitonic_ok = False
     try:
         from claragenomicsanalysis_tpu.ops.sort_pallas import \
             bitonic_sort_pairs
@@ -104,18 +105,21 @@ def main():
             return jnp.all(g1 == w1) & jnp.all(g2 == w2)
 
         import numpy as np
-        ok = bool(np.asarray(_eq(jnp.int32(3))))
+        bitonic_ok = bool(np.asarray(_eq(jnp.int32(3))))
         print(f"bitonic on-device bit-equality @2^20: "
-              f"{'OK' if ok else 'MISMATCH'}")
-        if not ok:
-            raise RuntimeError("bitonic sort wrong on device")
+              f"{'OK' if bitonic_ok else 'MISMATCH'}")
     except Exception as e:
         print(f"bitonic preflight FAILED: {type(e).__name__}: "
               f"{str(e)[:300]}")
+    if not bitonic_ok:
+        print("bitonic variants SKIPPED (preflight failed: timing a wrong "
+              "kernel would read as a valid A/B result)")
     for logn in (22, 24, 26):
         n = 1 << logn
         base = None
         for name, fn in variants(n):
+            if name.startswith("bitonic") and not bitonic_ok:
+                continue
             ds = [(jnp.int32(7 + i),) for i in range(2)]
             try:
                 t = time_scanned(fn, ds, repeats=3, loops=1)

@@ -75,6 +75,7 @@ def main():
         print(json.dumps(line), flush=True)
         if run > 0 and (best is None or wall < best["wall_s"]):
             best = line
+    best = best if best is not None else line    # --runs 0: compile run only
     print(json.dumps({"metric": "all-vs-all mapping Mbp/s (scale run)",
                       "value": best["mbp_per_s"], "unit": "Mbp/s",
                       "best": best}), flush=True)

@@ -168,3 +168,23 @@ def test_routed_chain_overflow_flag(rng):
     _, overflow = sharded_match_chain(idx._arrays, idx._arrays, CFG, mesh,
                                       cap=64, route=True)
     assert overflow
+
+
+def test_routed_chain_unpacked_index_long_reads(rng):
+    """Review regression: reads >= 64 KiB build an UNPACKED index (no
+    'first_read'/'packed' arrays) — the routed mesh path must handle it,
+    not KeyError, and must equal the 1-device driver."""
+    genome = PoissonGenomeSimulator(seed=31).build_reference(100_000)
+    sim = NoisyReadSimulator(seed=31, error_rate=0.02)
+    seqs = [r.seq for r in sim.generate_reads(genome, 3, 70_000)]
+    assert max(len(s) for s in seqs) > (1 << 16)
+    p = _parser(seqs)
+    cfg = MapperConfig(kmer_size=15, window_size=10, min_residues=4,
+                       min_overlap_len=500, min_overlap_fraction=0.2,
+                       min_bases_per_residue=1000)
+    idx = Index.create_index(p, 0, len(seqs), cfg)
+    assert "first_read" not in idx._arrays      # really the unpacked path
+    res1 = map_all_vs_all(p, cfg)
+    res8 = map_all_vs_all(p, cfg, mesh=make_mesh(data=1, rep=8))
+    assert [o.key() for o in res8.overlaps] == [o.key() for o in res1.overlaps]
+    assert res8.overlaps
