@@ -403,22 +403,40 @@ class Overlapper:
         return Overlapper.compact_rows(out)
 
     @staticmethod
-    def compact_rows(out: dict) -> np.ndarray:
+    def compact_rows(out: dict, mesh=None) -> np.ndarray:
         """Compact a masked chain-output dict (device-resident) to the
-        canonical (8, n_valid) host array — one small download."""
+        canonical (8, n_valid) host array — one small download.
+
+        `mesh`: required when `out` spans multiple PROCESSES (a routed
+        multi-host run): the compaction then pins replicated out-shardings
+        so every host can materialize the result (SURVEY §5.8's
+        deterministic per-host merge — each host holds the identical full
+        row set, so downstream PAF output is host-independent)."""
+        import jax
+        repl = None
+        if mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            repl = NamedSharding(mesh, PartitionSpec())
         with trace_range("mapper.compact"):
             C = out["valid"].shape[0]
             if C <= (1 << 21):
                 # small capacity: the fused 9-operand compaction sort is one
                 # dispatch + one sync (tunnel round trips dominate here)
-                stacked, nv_d = map_ops.compact_overlaps(out)
+                fn = (map_ops.compact_overlaps if repl is None else
+                      jax.jit(map_ops.compact_overlaps, out_shardings=repl))
+                stacked, nv_d = fn(out)
                 nv = int(nv_d)
             else:
                 # large capacity: index-sort + gathers of just the valid
                 # bucket beats dragging 9 cap-sized operands through a sort
                 nv = int(map_ops.count_valid(out))
                 cap_o = min(C, max(128, 1 << (max(nv, 1) - 1).bit_length()))
-                stacked = map_ops.compact_overlaps_gather(out, cap_o)
+                if repl is None:
+                    stacked = map_ops.compact_overlaps_gather(out, cap_o)
+                else:
+                    stacked = jax.jit(
+                        lambda o: map_ops.compact_overlaps_gather(o, cap_o),
+                        out_shardings=repl)(out)
             rows = np.asarray(stacked[:, :nv])        # ONE small download
         return rows[:, _canonical_order(rows)]
 
@@ -620,7 +638,7 @@ def _mesh_overlap_rows(qidx: Index, tidx: Index, cfg: MapperConfig,
             first_read=qidx.first_read_id)
     status = (StatusType.EXCEEDED_MAX_ANCHORS if overflow
               else StatusType.SUCCESS)
-    return Overlapper.compact_rows(out), status
+    return Overlapper.compact_rows(out, mesh=mesh), status
 
 
 @dataclass

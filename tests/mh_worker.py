@@ -103,3 +103,16 @@ got, want = _checks(out), _checks(expected)
 assert got == want and got[0] > 0, (got, want)
 print(f"proc{pid} OK: routed map across processes, "
       f"{got[0]} overlaps checksum-equal")
+
+# ---- the REAL user driver across processes: map_all_vs_all on the global
+# rep mesh must produce, on EVERY host, exactly the overlap list the plain
+# single-process driver computes (SURVEY §5.8's host-independent output).
+from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all  # noqa: E402
+
+res_mesh = map_all_vs_all(parser, cfg, mesh=mesh4)
+res_local = map_all_vs_all(parser, cfg)
+got_keys = [o.key() for o in res_mesh.overlaps]
+want_keys = [o.key() for o in res_local.overlaps]
+assert got_keys == want_keys and got_keys, (len(got_keys), len(want_keys))
+print(f"proc{pid} OK: map_all_vs_all across processes, "
+      f"{len(got_keys)} overlaps identical on this host")
