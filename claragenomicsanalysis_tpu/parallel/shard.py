@@ -63,7 +63,12 @@ def sharded_poa(program, seqs, weights, lens, n_seqs, mesh: Mesh):
     """Data-parallel POA: window dim split over 'data' via shard_map —
     each device runs `program` (the XLA window program OR a Pallas kernel
     backend from models.poa._window_program) on its local window slice.
-    Merging is concatenation, so N-device == 1-device bit-for-bit."""
+    Merging is concatenation, so N-device == 1-device bit-for-bit.
+
+    When the mesh spans PROCESSES (multi-host correction, SURVEY §5.8),
+    host inputs — identical on every host by construction — become global
+    arrays and outputs are re-replicated so each host materializes the
+    full result."""
     n_data = mesh.shape["data"]
     W = seqs.shape[0]
     Wp = round_up(W, n_data)
@@ -74,13 +79,21 @@ def sharded_poa(program, seqs, weights, lens, n_seqs, mesh: Mesh):
         return np.concatenate(
             [x, np.full((pad,) + x.shape[1:], fill, x.dtype)]) if pad else x
 
-    fn = jax.jit(shard_map(
+    args = [padw(seqs, -1), padw(weights, 0), padw(lens, 0), padw(n_seqs, 0)]
+    multi = jax.process_count() > 1
+    sm = shard_map(
         program, mesh=mesh,
         in_specs=(P(("data",)), P(("data",)), P(("data",)), P(("data",))),
         out_specs=P(("data",)),
-        check_vma=False))  # windows are independent; outputs shard cleanly
-    out = fn(padw(seqs, -1), padw(weights, 0), padw(lens, 0),
-             padw(n_seqs, 0))
+        check_vma=False)  # windows are independent; outputs shard cleanly
+    if multi:
+        in_sh = NamedSharding(mesh, P(("data",)))
+        args = [jax.make_array_from_callback(
+            a.shape, in_sh, lambda idx, _a=a: _a[idx]) for a in args]
+        fn = jax.jit(sm, out_shardings=NamedSharding(mesh, P()))
+    else:
+        fn = jax.jit(sm)
+    out = fn(*args)
     return tuple(np.asarray(o)[:W] for o in out)
 
 

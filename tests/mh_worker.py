@@ -116,3 +116,16 @@ want_keys = [o.key() for o in res_local.overlaps]
 assert got_keys == want_keys and got_keys, (len(got_keys), len(want_keys))
 print(f"proc{pid} OK: map_all_vs_all across processes, "
       f"{len(got_keys)} overlaps identical on this host")
+
+# ---- the read-correction driver (BASELINE config #5) across processes:
+# every host must produce the identical corrected FASTA.
+from claragenomicsanalysis_tpu.core.config import CorrectConfig  # noqa: E402
+from claragenomicsanalysis_tpu.models.correct import correct_reads  # noqa: E402
+
+ccfg = CorrectConfig(mapper=cfg, window_length=40, max_support=3,
+                     min_supports_for_poa=1)
+res_c_mesh = correct_reads(parser, ccfg, mesh=make_global_mesh())
+res_c_local = correct_reads(parser, ccfg)
+assert res_c_mesh.seqs == res_c_local.seqs and all(res_c_mesh.seqs)
+print(f"proc{pid} OK: correct_reads across processes, "
+      f"{len(res_c_mesh.seqs)} reads identical on this host")
