@@ -38,7 +38,9 @@ def _dp_sharding(mesh: Mesh):
 
 
 def sharded_banded_nw(q, qlen, t, tlen, band_radius: int, mesh: Mesh):
-    """Data-parallel banded NW: batch dim split over 'data'."""
+    """Data-parallel banded NW: batch dim split over 'data'.  On a
+    process-spanning mesh, host inputs (identical everywhere) become
+    global arrays and outputs re-replicate so every host can read them."""
     n_data = mesh.shape["data"]
     B = q.shape[0]
     Bp = round_up(B, n_data)
@@ -51,11 +53,17 @@ def sharded_banded_nw(q, qlen, t, tlen, band_radius: int, mesh: Mesh):
                      np.asarray(x).dtype)]) if pad else np.asarray(x)
 
     sh = _dp_sharding(mesh)
-    qd = jax.device_put(padb(q, -1), sh)
-    td = jax.device_put(padb(t, -1), sh)
-    qld = jax.device_put(padb(qlen, 0), sh)
-    tld = jax.device_put(padb(tlen, 0), sh)
-    scores, tb = nw_band.banded_nw(qd, qld, td, tld, band_radius)
+    args = [padb(q, -1), padb(qlen, 0), padb(t, -1), padb(tlen, 0)]
+    if jax.process_count() > 1:
+        args = [jax.make_array_from_callback(
+            a.shape, sh, lambda idx, _a=a: _a[idx]) for a in args]
+        repl = NamedSharding(mesh, P())
+        scores, tb = jax.jit(
+            functools.partial(nw_band.banded_nw, band_radius=band_radius),
+            out_shardings=repl)(*args)
+    else:
+        args = [jax.device_put(a, sh) for a in args]
+        scores, tb = nw_band.banded_nw(*args, band_radius)
     return scores[:B], tb[:, :B]
 
 

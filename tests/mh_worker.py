@@ -129,3 +129,24 @@ res_c_local = correct_reads(parser, ccfg)
 assert res_c_mesh.seqs == res_c_local.seqs and all(res_c_mesh.seqs)
 print(f"proc{pid} OK: correct_reads across processes, "
       f"{len(res_c_mesh.seqs)} reads identical on this host")
+
+# ---- data-sharded banded NW across processes (the remaining sharded path)
+from claragenomicsanalysis_tpu.parallel.shard import sharded_banded_nw  # noqa: E402
+from claragenomicsanalysis_tpu.ops import nw_band  # noqa: E402
+from claragenomicsanalysis_tpu.utils.genomeutils import (  # noqa: E402
+    encode, generate_random_genome, mutate_sequence)
+
+rng = np.random.default_rng(5)
+qs, ts = [], []
+for _ in range(8):
+    a = generate_random_genome(56, rng)
+    qs.append(a)
+    ts.append(mutate_sequence(a, 5, rng)[:56])
+q = np.stack([encode(a, 64) for a in qs])
+t = np.stack([encode(b, 64) for b in ts])
+qlen = np.array([len(a) for a in qs], np.int32)
+tlen = np.array([len(b) for b in ts], np.int32)
+s_mesh, _ = sharded_banded_nw(q, qlen, t, tlen, 16, make_global_mesh())
+s_loc, _ = nw_band.banded_nw(q, qlen, t, tlen, 16)
+assert np.array_equal(np.asarray(s_mesh), np.asarray(s_loc))
+print(f"proc{pid} OK: sharded banded NW across processes, scores equal")
