@@ -241,12 +241,16 @@ def _routed_match_chain(qidx, tidx, lo, cum, qid0, n_reads, cap_local: int,
                         0, n_rep - 1)
         dest = jnp.where(v, dest, n_rep)       # park invalid rows at the end
         iota = jnp.arange(dest.shape[0], dtype=jnp.int32)
-        _, perm = jax.lax.sort((dest, iota), num_keys=1, is_stable=True)
-        counts = jnp.bincount(dest, length=n_rep + 1)[:n_rep].astype(jnp.int32)
-        offs = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32), jnp.cumsum(counts).astype(jnp.int32)])
+        sd, perm = jax.lax.sort((dest, iota), num_keys=1, is_stable=True)
+        # bucket bounds from the SORTED dest (a bincount here would
+        # scatter-add millions of duplicate indices into n_rep bins, which
+        # serializes on TPU — docs/DESIGN.md §6)
+        bins = jnp.arange(n_rep, dtype=jnp.int32)
+        offs0 = jnp.searchsorted(sd, bins, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(sd, bins, side="right").astype(jnp.int32)
+        counts = ends - offs0
         j = jnp.arange(c_send, dtype=jnp.int32)
-        idx = offs[:-1, None] + j[None, :]            # (n_rep, c_send)
+        idx = offs0[:, None] + j[None, :]             # (n_rep, c_send)
         in_bucket = j[None, :] < counts[:, None]
         src = perm[jnp.clip(idx, 0, dest.shape[0] - 1)]
         overflow |= jnp.any(counts > c_send)          # dropped rows -> retry
