@@ -28,7 +28,7 @@ def _add_mapper_flags(p):
     p.add_argument("--min-bases-per-residue", type=int, default=100)
     p.add_argument("--max-anchor-gap", type=int, default=5000)
     p.add_argument("--no-hashing", action="store_true")
-    p.add_argument("--chain-sort", default="xla", choices=["xla", "pallas"],
+    p.add_argument("--sort-backend", default="xla", choices=["xla", "pallas"],
                    help="anchor-sort kernel for the chain stage "
                         "(bit-identical; perf knob)")
 
@@ -59,7 +59,7 @@ def _mapper_cfg(args) -> MapperConfig:
         min_bases_per_residue=args.min_bases_per_residue,
         max_anchor_gap=args.max_anchor_gap,
         index_size_mb=args.index_size,
-        chain_sort_backend=args.chain_sort)
+        sort_backend=args.sort_backend)
 
 
 def cmd_align(args) -> int:

@@ -101,7 +101,7 @@ class MapperConfig:
     skip_self_mappings: bool = True
     #: anchor-sort kernel for the pack2 chain stage: "xla" (lax.sort) or
     #: "pallas" (ops/sort_pallas.py bitonic — perf knob, bit-identical)
-    chain_sort_backend: str = "xla"
+    sort_backend: str = "xla"
 
     def __post_init__(self):
         # hashed mode packs 2k bits into two uint32 words then mixes to a

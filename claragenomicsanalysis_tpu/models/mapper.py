@@ -209,7 +209,8 @@ class Index:
             arrays = map_ops.build_index(
                 rep, dirs, is_min, jnp.int32(first_read),
                 filter_thr_num=frac.numerator,
-                filter_thr_den=frac.denominator, with_packed=with_packed)
+                filter_thr_den=frac.denominator, with_packed=with_packed,
+                sort_backend=(cfg.sort_backend if with_packed else "xla"))
         # COMPACT the element arrays: build_index sorts INVALID reps to the
         # back, so slicing to the pow2 bucket of the true element count
         # drops the ~(1 - 2/(w+1)) non-minimizer slots.  Downstream match
@@ -399,7 +400,7 @@ class Overlapper:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap, pack2=pack2,
-                sort_backend=cfg.chain_sort_backend)
+                sort_backend=cfg.sort_backend)
         return Overlapper.compact_rows(out)
 
     @staticmethod

@@ -30,12 +30,32 @@ from .sketch import INVALID
 I32MAX = jnp.int32(2**31 - 1)
 
 
+def _sort_pairs(k1, k2, backend: str):
+    """Unstable ascending sort of distinct uint32 (k1, k2) pairs — the
+    shared shape of the packed index sorts and the pack2 chain sort.
+    backend="pallas" runs the VMEM-blocked bitonic kernel
+    (ops/sort_pallas.py; bit-identical: the sorted array of a multiset is
+    unique, and pow2 padding rows sort to the tail and are sliced off)."""
+    if backend == "pallas":
+        from .sort_pallas import bitonic_sort_pairs
+        C = k1.shape[0]
+        Cp = max(1024, 1 << (max(C, 2) - 1).bit_length())
+        if Cp != C:
+            pad = jnp.full(Cp - C, 0xFFFFFFFF, jnp.uint32)
+            k1 = jnp.concatenate([k1, pad])
+            k2 = jnp.concatenate([k2, pad])
+        interp = jax.default_backend() != "tpu"
+        s1, s2 = bitonic_sort_pairs(k1, k2, interpret=interp)
+        return s1[:C], s2[:C]
+    return jax.lax.sort((k1, k2), num_keys=2, is_stable=False)
+
+
 @functools.partial(jax.jit, static_argnames=("filter_thr_num",
                                              "filter_thr_den",
-                                             "with_packed"))
+                                             "with_packed", "sort_backend"))
 def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
                 filter_thr_num: int = 1, filter_thr_den: int = 1,
-                with_packed: bool = False):
+                with_packed: bool = False, sort_backend: str = "xla"):
     """Flatten + sort sketch elements.  Returns dict of (C,) arrays sorted by
     (rep, read_id, pos) with INVALID-rep padding, plus n_elems.
 
@@ -66,8 +86,7 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             jnp.arange(Lk, dtype=jnp.uint32)[None, :], (B, Lk)).reshape(-1)
         word = ((local << 17) | (pos_w << 1)
                 | flat_dir.astype(jnp.uint32).reshape(-1))
-        srep, sword = jax.lax.sort((flat_rep, word), num_keys=2,
-                                   is_stable=False)
+        srep, sword = _sort_pairs(flat_rep, word, sort_backend)
         if not (filter_thr_num == 1 and filter_thr_den == 1):
             lo = jnp.searchsorted(srep, srep, side="left")
             hi = jnp.searchsorted(srep, srep, side="right")
@@ -75,8 +94,7 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             keep = (cnt * filter_thr_den <= n_elems * filter_thr_num) & \
                    (srep != INVALID)
             srep = jnp.where(keep, srep, INVALID)
-            srep, sword = jax.lax.sort((srep, sword), num_keys=2,
-                                       is_stable=False)
+            srep, sword = _sort_pairs(srep, sword, sort_backend)
             n_elems = jnp.sum(keep).astype(jnp.int32)
         slocal = sword >> 17
         spos = ((sword >> 1) & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -289,13 +307,7 @@ def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
     # all operands are keys and equal key pairs are fully identical
     # anchors, so an unstable sort is bit-identical in effect — which also
     # makes the Pallas bitonic backend a drop-in (same sorted array)
-    C = key1.shape[0]
-    if sort_backend == "pallas" and C & (C - 1) == 0 and C >= 1024:
-        from .sort_pallas import bitonic_sort_pairs
-        interp = jax.default_backend() != "tpu"
-        key1, key2 = bitonic_sort_pairs(key1, key2, interpret=interp)
-    else:
-        key1, key2 = jax.lax.sort((key1, key2), num_keys=2, is_stable=False)
+    key1, key2 = _sort_pairs(key1, key2, sort_backend)
     v = key1 != UMAX
     k1 = key1.astype(jnp.int32)            # valid keys are < 2^31
     d = jnp.where(v, k1 & 1, I32MAX)

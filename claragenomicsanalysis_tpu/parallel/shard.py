@@ -161,7 +161,7 @@ def _chain_kwargs(cfg) -> dict:
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap,
-                sort_backend=getattr(cfg, "chain_sort_backend", "xla"))
+                sort_backend=getattr(cfg, "sort_backend", "xla"))
 
 
 def _pad_target_for_rep(tidx_arrays: dict, n_rep: int) -> dict:

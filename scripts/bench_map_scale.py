@@ -34,7 +34,7 @@ def main():
     ap.add_argument("--error-rate", type=float, default=0.05)
     ap.add_argument("--runs", type=int, default=2,
                     help="timed runs after the compile run (report best)")
-    ap.add_argument("--chain-sort", default="xla", choices=["xla", "pallas"],
+    ap.add_argument("--sort-backend", default="xla", choices=["xla", "pallas"],
                     help="anchor-sort kernel for the chain stage")
     args = ap.parse_args()
 
@@ -50,7 +50,7 @@ def main():
                                                args.read_len)]
     parser = FastaParser("<mem>", records=[
         FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
-    cfg = MapperConfig(chain_sort_backend=args.chain_sort)
+    cfg = MapperConfig(sort_backend=args.sort_backend)
 
     best = None
     for run in range(args.runs + 1):

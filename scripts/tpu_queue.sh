@@ -24,6 +24,6 @@ run poa_v2_pileup python scripts/bench_poa_v2.py --pileup
 run poa_v2_msa    python scripts/bench_poa_v2.py --msa
 run bench_all     python scripts/bench_all.py
 run map_scale     python scripts/bench_map_scale.py
-run map_scale_ps  python scripts/bench_map_scale.py --chain-sort pallas
+run map_scale_ps  python scripts/bench_map_scale.py --sort-backend pallas
 run headline      python bench.py
 echo "queue done ($(date +%H:%M:%S)); logs in bench_logs/${ts}_*.log"

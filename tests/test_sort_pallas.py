@@ -56,8 +56,8 @@ def test_chain_sort_shaped_keys(rng):
     _check(k1, k2, 11)
 
 
-def test_chain_sort_backend_end_to_end(rng):
-    """MapperConfig(chain_sort_backend='pallas') must reproduce the default
+def test_sort_backend_end_to_end(rng):
+    """MapperConfig(sort_backend='pallas') must reproduce the default
     driver's overlaps exactly (interpret-mode kernel on CPU)."""
     from claragenomicsanalysis_tpu.core.config import MapperConfig
     from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
@@ -73,6 +73,6 @@ def test_chain_sort_backend_end_to_end(rng):
               min_overlap_fraction=0.2, min_bases_per_residue=1000)
     ref = map_all_vs_all(parser, MapperConfig(**kw))
     got = map_all_vs_all(parser,
-                         MapperConfig(chain_sort_backend="pallas", **kw))
+                         MapperConfig(sort_backend="pallas", **kw))
     assert [o.key() for o in got.overlaps] == [o.key() for o in ref.overlaps]
     assert got.overlaps
