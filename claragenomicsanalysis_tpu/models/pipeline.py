@@ -7,7 +7,7 @@ base-exactly with the batched banded aligner, and PAF rows gain cg:Z CIGARs.
 
 from dataclasses import dataclass
 
-from ..core.config import MapperConfig, PipelineConfig
+from ..core.config import PipelineConfig
 from ..core.status import StatusType
 from ..core.types import Overlap
 from ..io.fasta import FastaParser

@@ -32,7 +32,6 @@ Design notes:
   never fault; its sticky status marks the outputs invalid instead.
 """
 
-import functools
 from typing import NamedTuple
 
 import jax
