@@ -22,6 +22,9 @@ XLA_FLAGS="--xla_force_host_platform_device_count=8" JAX_PLATFORMS=cpu \
 echo "== API docs current =="
 python scripts/gen_api_docs.py --check
 
+echo "== doc flag names match cli.py =="
+python scripts/check_doc_flags.py
+
 echo "== entry compile check =="
 JAX_PLATFORMS=cpu python - <<'EOF'
 import jax

@@ -50,7 +50,13 @@ INF16 = 16384    # int16-path INF: real scores are < 8192, growth is bounded
 
 
 def pallas_available() -> bool:
-    return jax.default_backend() == "tpu"
+    # A failed axon-plugin init makes default_backend() RAISE (not return
+    # "cpu"); treat that as "no TPU" so callers degrade instead of crashing
+    # (a bare raise here cost round 2 its headline bench — BENCH_r02.json).
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # noqa: BLE001
+        return False
 
 
 def band_width_sub(band_radius: int) -> int:
