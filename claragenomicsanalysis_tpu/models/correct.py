@@ -172,19 +172,34 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
             bs, POA_MEM_BUDGET).problems_per_batch
     out: list[str] = []
     n_failed = 0
-    for start in range(0, len(jobs), windows_per_dispatch):
-        chunk = jobs[start:start + windows_per_dispatch]
-        batch = create_batch(batch_size=bs, max_poas=len(chunk), mesh=mesh,
-                             backend=cfg.poa_backend)
-        for seqs in chunk:
-            batch.add_poa_group(seqs)
-        cons, _, stats = batch.get_consensus()
+
+    def drain(chunk, batch):
+        nonlocal n_failed
+        cons, _, stats = batch.get_consensus()   # materializes (blocks)
         for seqs, c, st in zip(chunk, cons, stats):
             if st == StatusType.SUCCESS and c:
                 out.append(c)
             else:
                 out.append(seqs[0])  # graceful degradation: keep backbone
                 n_failed += 1
+
+    # Pipelined dispatches (the reference's multibatch/stream-overlap axis,
+    # cudapoa/benchmarks/multibatch [U]): generate_poa only packs +
+    # dispatches, so chunk i+1 is packed and in flight while chunk i
+    # computes; drain (the blocking device->host read) runs one behind.
+    pending = None
+    for start in range(0, len(jobs), windows_per_dispatch):
+        chunk = jobs[start:start + windows_per_dispatch]
+        batch = create_batch(batch_size=bs, max_poas=len(chunk), mesh=mesh,
+                             backend=cfg.poa_backend)
+        for seqs in chunk:
+            batch.add_poa_group(seqs)
+        batch.generate_poa()                     # async dispatch
+        if pending is not None:
+            drain(*pending)
+        pending = (chunk, batch)
+    if pending is not None:
+        drain(*pending)
     return out, n_failed
 
 

@@ -442,6 +442,52 @@ class Overlapper:
         return rows[:, _canonical_order(rows)]
 
     @staticmethod
+    def compact_rows_local(out: dict, mesh) -> dict:
+        """Per-shard compaction of a routed chain output dict — the
+        pod-scale alternative to compact_rows(mesh=...): each 'rep' shard
+        compacts ON ITS OWN DEVICE and only locally-addressable results
+        reach this host, so no host ever materializes the global overlap
+        set (SURVEY §5.8 "per-host files merged deterministically").
+
+        Returns {rep_shard_index: (8, n_valid) canonical rows} for the
+        shards whose PRIMARY (replica-0) copy is addressable from this
+        process — across processes each shard appears exactly once.
+        Because routing assigns each shard a disjoint ascending query-id
+        range (parallel/shard._routed_match_chain), concatenating the
+        values in shard-index order reproduces compact_rows(out) exactly
+        (asserted by tests and the 2-process Gloo worker)."""
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        n_rep = mesh.shape["rep"]
+
+        def body(o):
+            stacked, nv = map_ops.compact_overlaps(o)
+            # replicate the per-shard counts so every process reads them
+            # without owning remote shards (they are n_rep ints)
+            nv_all = jax.lax.all_gather(nv.reshape(1), "rep",
+                                        axis=0).reshape(-1)
+            return stacked, nv_all
+
+        with trace_range("mapper.compact_local"):
+            fn = jax.jit(shard_map(
+                body, mesh=mesh,
+                in_specs=({k: P(("rep",)) for k in out},),
+                out_specs=(P(None, ("rep",)), P()),
+                check_vma=False))
+            stacked, nv = fn(out)
+            counts = np.asarray(nv.addressable_data(0))
+            cap_local = stacked.shape[1] // n_rep
+            rows_by_shard = {}
+            for s in stacked.addressable_shards:
+                if s.replica_id != 0:
+                    continue  # replicas over the data/sp axes write nothing
+                r = (s.index[1].start or 0) // cap_local
+                rows = np.asarray(s.data)[:, :int(counts[r])]
+                rows_by_shard[r] = rows[:, _canonical_order(rows)]
+        return rows_by_shard
+
+    @staticmethod
     def rows_to_overlaps(rows: np.ndarray) -> list[Overlap]:
         cols = rows.T.tolist()              # one bulk int conversion
         return [Overlap(c[0], c[1], c[2], c[3], c[4], c[5], c[6],

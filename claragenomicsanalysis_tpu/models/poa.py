@@ -127,7 +127,8 @@ class Batch:
         self._batch_id = next(Batch._next_id)  # itertools.count is atomic
         self._groups: list[tuple[list[str], list[list[int]]]] = []
         self._host_status: list[StatusType] = []
-        self._out = None
+        self._out = None        # host (numpy) outputs, decoded lazily
+        self._out_dev = None    # in-flight device outputs (async dispatch)
 
     # ------------------------------------------------------------------ API
 
@@ -145,7 +146,7 @@ class Batch:
             weights = [[1] * len(s) for s in seqs]
         self._groups.append((seqs, weights))
         self._host_status.append(status)
-        self._out = None
+        self._out = self._out_dev = None
         return status
 
     def get_total_poas(self) -> int:
@@ -156,6 +157,12 @@ class Batch:
         return self._batch_id
 
     def generate_poa(self) -> None:
+        """Pack + dispatch the window batch.  NON-BLOCKING on an async
+        backend (JAX dispatch): device outputs are materialized lazily by
+        the first get_consensus/get_msa call, so a caller can dispatch
+        batch i+1 while batch i computes (the stream-overlap axis of the
+        reference's multibatch benchmark, cudapoa/benchmarks/multibatch
+        [U] — see models/correct._polish_windows)."""
         from ..utils.profiling import trace_range
         bs = self.batch_size
         S, L = bs.max_sequences_per_poa, bs.padded_seq
@@ -237,16 +244,19 @@ class Batch:
             # window dim sharded over the mesh 'data' axis; merging is
             # concatenation so N-device == 1-device bit-for-bit
             from ..parallel.shard import sharded_poa
-            self._out = tuple(np.asarray(o) for o in sharded_poa(
-                program, seqs, weights, lens, n_seqs, self.mesh))
+            self._out_dev = sharded_poa(
+                program, seqs, weights, lens, n_seqs, self.mesh)
             return
-        out = program(jnp.asarray(seqs), jnp.asarray(weights),
-                      jnp.asarray(lens), jnp.asarray(n_seqs))
-        self._out = tuple(np.asarray(o) for o in out)
+        self._out_dev = program(jnp.asarray(seqs), jnp.asarray(weights),
+                                jnp.asarray(lens), jnp.asarray(n_seqs))
 
     def _ensure(self):
         if self._out is None:
-            self.generate_poa()
+            if self._out_dev is None:
+                self.generate_poa()
+            if self._out is None:  # W > 0: materialize the device outputs
+                self._out = tuple(np.asarray(o) for o in self._out_dev)
+                self._out_dev = None
 
     def get_consensus(self):
         """Returns (consensus list[str], coverage list[list[int]],
@@ -338,7 +348,7 @@ class Batch:
     def reset(self) -> None:
         self._groups.clear()
         self._host_status.clear()
-        self._out = None
+        self._out = self._out_dev = None
 
 
 def create_batch(batch_size: BatchSize | None = None,

@@ -16,6 +16,8 @@ from .shard import (sharded_anchors, sharded_banded_nw, sharded_match_chain,
                     sharded_poa)
 from .manifest import map_all_vs_all_resumable
 from .ring_nw import ring_wavefront_nw
+from .shard_output import (map_all_vs_all_sharded, merge_sharded_rows,
+                           write_merged_paf)
 from .multihost import (initialize_distributed, make_global_mesh,
                         process_count, process_index)
 
@@ -23,4 +25,5 @@ __all__ = ["make_mesh", "local_device_count", "axis_meshes",
            "sharded_anchors", "sharded_banded_nw",
            "sharded_match_chain", "sharded_poa", "map_all_vs_all_resumable",
            "ring_wavefront_nw", "initialize_distributed", "make_global_mesh",
-           "process_count", "process_index"]
+           "process_count", "process_index", "map_all_vs_all_sharded",
+           "merge_sharded_rows", "write_merged_paf"]

@@ -150,3 +150,35 @@ s_mesh, _ = sharded_banded_nw(q, qlen, t, tlen, 16, make_global_mesh())
 s_loc, _ = nw_band.banded_nw(q, qlen, t, tlen, 16)
 assert np.array_equal(np.asarray(s_mesh), np.asarray(s_loc))
 print(f"proc{pid} OK: sharded banded NW across processes, scores equal")
+
+# ---- SHARDED output path (SURVEY §5.8): each host writes part files for
+# ONLY its rep shards; the deterministic merge equals the replicated path
+# byte-for-byte.  The shared dir comes from the spawning test via env.
+import tempfile  # noqa: E402
+
+from claragenomicsanalysis_tpu.models.mapper import (  # noqa: E402
+    overlaps_to_paf)
+from claragenomicsanalysis_tpu.parallel import (  # noqa: E402
+    map_all_vs_all_sharded, write_merged_paf)
+
+shard_dir = os.environ.get("MH_SHARD_DIR") or os.path.join(
+    tempfile.gettempdir(), f"mh_shards_{port}")
+os.makedirs(shard_dir, exist_ok=True)
+
+written, n_pairs = map_all_vs_all_sharded(parser, cfg, shard_dir, mesh4)
+# rep=4 over 2 procs x 2 devices: this host owns exactly 2 of 4 shards
+own = sorted(int(p.rsplit("_r", 1)[1][:3]) for p in written)
+assert own == ([0, 1] if pid == 0 else [2, 3]), (pid, own)
+
+from jax.experimental import multihost_utils  # noqa: E402
+multihost_utils.sync_global_devices("sharded_parts_written")
+
+merged_paf = os.path.join(shard_dir, f"merged_{pid}.paf")
+n_merged = write_merged_paf(parser, shard_dir, merged_paf)
+want_paf = "".join(line + "\n"
+                   for line in overlaps_to_paf(res_local.overlaps, parser))
+with open(merged_paf) as f:
+    assert f.read() == want_paf
+assert n_merged == len(res_local.overlaps) > 0
+print(f"proc{pid} OK: sharded output — wrote shards {own} only, "
+      f"merged PAF ({n_merged} rows) == replicated path byte-for-byte")

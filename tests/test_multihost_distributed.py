@@ -18,20 +18,21 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(180)
-def test_two_process_distributed_smoke():
+@pytest.mark.timeout(300)
+def test_two_process_distributed_smoke(tmp_path):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "mh_worker.py")
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["MH_SHARD_DIR"] = str(tmp_path / "shards")
     procs = [subprocess.Popen(
         [sys.executable, worker, str(i), "2", port],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
         for i in range(2)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=150)
+        out, _ = p.communicate(timeout=280)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
-        assert f"proc{i} OK" in out
+        assert f"proc{i} OK: sharded output" in out

@@ -188,3 +188,36 @@ def test_routed_chain_unpacked_index_long_reads(rng):
     res8 = map_all_vs_all(p, cfg, mesh=make_mesh(data=1, rep=8))
     assert [o.key() for o in res8.overlaps] == [o.key() for o in res1.overlaps]
     assert res8.overlaps
+
+
+def test_sharded_output_merge_equals_replicated(rng, tmp_path):
+    """SURVEY §5.8: per-shard part files + deterministic merge must equal
+    the replicated-output path byte-for-byte (PAF text), with multiple
+    chunk pairs so the (pair, shard) merge order is really exercised."""
+    from claragenomicsanalysis_tpu.models.mapper import overlaps_to_paf
+    from claragenomicsanalysis_tpu.parallel import (map_all_vs_all_sharded,
+                                                    merge_sharded_rows,
+                                                    write_merged_paf)
+    genome = PoissonGenomeSimulator(seed=23).build_reference(3000)
+    sim = NoisyReadSimulator(seed=23, error_rate=0.03)
+    seqs = [r.seq for r in sim.generate_reads(genome, 24, 300)]
+    p = _parser(seqs)
+    # tiny index budget => several chunk pairs
+    cfg = MapperConfig(kmer_size=7, window_size=4, min_residues=3,
+                       min_overlap_len=30, min_overlap_fraction=0.5,
+                       min_bases_per_residue=1000, index_size_mb=1)
+    mesh = make_mesh(data=2, rep=4)
+
+    written, n_pairs = map_all_vs_all_sharded(p, cfg, str(tmp_path), mesh)
+    assert n_pairs >= 1 and written
+
+    # replicated reference path
+    res = map_all_vs_all(p, cfg, mesh=mesh)
+    merged = merge_sharded_rows(str(tmp_path))
+    assert np.array_equal(merged, res.rows)
+
+    out_paf = tmp_path / "merged.paf"
+    n = write_merged_paf(p, str(tmp_path), str(out_paf))
+    assert n == len(res.overlaps) > 0
+    want = "".join(line + "\n" for line in overlaps_to_paf(res.overlaps, p))
+    assert out_paf.read_text() == want
