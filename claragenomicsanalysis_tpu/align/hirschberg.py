@@ -60,12 +60,25 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
                            sp_min_len: int | None = None):
     """Returns (paths, dists, statuses) matching models.aligner's contract.
 
-    mesh + sp_min_len: levels whose padded target side reaches sp_min_len
-    compute their forward/reverse bottom rows on the 'sp' ring-wavefront
-    kernel (parallel/ring_nw.py) instead of single-chip Myers — the
+    mesh + sp_min_len: levels whose padded sides reach sp_min_len compute
+    their forward/reverse bottom rows on the 'sp' ring-wavefront kernel
+    (parallel/ring_nw.py) instead of single-chip Myers — the
     sequence-parallel path for fragments too long for one chip's
     VMEM-resident stripe.  Split selection is the same argmin over the
-    same unit-cost rows, so routing does not change results."""
+    same unit-cost rows, so routing does not change results.
+
+    sp_min_len=None with an sp-capable mesh AUTO-derives the threshold
+    from the Myers kernel's VMEM arithmetic
+    (core.bufferplan.myers_max_query_len): levels the single-chip fast
+    path cannot hold route to the ring with no manual tuning."""
+    if (sp_min_len is None and mesh is not None
+            and mesh.shape.get("sp", 1) > 1):
+        from ..core.bufferplan import myers_max_query_len
+        sp_min_len = myers_max_query_len()
+        from ..utils.logging import get_logger
+        get_logger().info("hirschberg: auto sp threshold %d bases "
+                          "(VMEM-derived); longer levels use the "
+                          "ring-wavefront 'sp' axis", sp_min_len)
     B = len(queries)
     qcodes = [encode(s) for s in queries]
     tcodes = [encode(s) for s in targets]
@@ -151,7 +164,8 @@ def _split_level(split: list[_Frag], qcodes, tcodes, mesh=None,
     tlen[:n] = [len(x) for x in fwd_t]
     tlen[half: half + n] = [len(x) for x in rev_t]
     use_sp = (mesh is not None and sp_min_len is not None
-              and Lt >= sp_min_len)
+              and mesh.shape.get("sp", 1) > 1
+              and max(Lq, Lt) >= sp_min_len)
     if use_sp:
         # sequence-parallel rows: target axis sharded over the 'sp' ring
         from ..parallel.ring_nw import ring_wavefront_nw_rows

@@ -70,8 +70,20 @@ def cmd_align(args) -> int:
     n = min(qp.get_num_sequences(), tp.get_num_sequences())
     max_q = max(len(qp.get_sequence_by_id(i).seq) for i in range(n))
     max_t = max(len(tp.get_sequence_by_id(i).seq) for i in range(n))
+    # -d: hirschberg-myers puts the devices on the 'sp' ring (one pair's
+    # DP sharded by target stripes; threshold auto-derived from VMEM),
+    # the batch algorithms put them on the 'data' axis.
+    mesh = None
+    if getattr(args, "devices", 1) > 1:
+        from .parallel import make_mesh
+        import jax
+        devs = jax.devices()[: args.devices]
+        if args.algorithm == "hirschberg-myers":
+            mesh = make_mesh(data=1, sp=args.devices, devices=devs)
+        else:
+            mesh = make_mesh(data=args.devices, devices=devs)
     aligner = create_aligner(max_q, max_t, n, band_radius=args.band_radius,
-                             algorithm=args.algorithm)
+                             algorithm=args.algorithm, mesh=mesh)
     for i in range(n):
         aligner.add_alignment(qp.get_sequence_by_id(i).seq,
                               tp.get_sequence_by_id(i).seq)
@@ -251,6 +263,10 @@ def main(argv=None) -> int:
     a.add_argument("--algorithm", default="ukkonen",
                    choices=["ukkonen", "myers", "hirschberg-myers"])
     a.add_argument("--print-alignments", action="store_true")
+    a.add_argument("-d", "--devices", type=int, default=1,
+                   help="hirschberg-myers: ring-shard one pair's DP over "
+                        "this many devices ('sp' axis, auto threshold); "
+                        "ukkonen: shard the batch ('data' axis)")
     a.set_defaults(fn=cmd_align)
 
     p = sub.add_parser("poa", help="POA consensus over window file")

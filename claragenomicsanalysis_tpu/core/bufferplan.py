@@ -8,9 +8,15 @@ one statically-shaped batch.  Shape-static padding is the TPU analog of slab
 carving.
 """
 
+import os
 from dataclasses import dataclass
 
 from .config import AlignerConfig, BatchSize
+
+#: usable per-core VMEM for planning: 16 MB hardware (v5e) minus compiler
+#: headroom — the same figure ops/poa_pallas2.VMEM_BUDGET plans against.
+#: CGA_VMEM_BUDGET_BYTES overrides it (other TPU generations; tests).
+VMEM_BUDGET_BYTES = 14 * 2**20
 
 
 @dataclass(frozen=True)
@@ -35,6 +41,21 @@ def plan_aligner_batch(cfg: AlignerConfig, mem_budget_bytes: int) -> BufferPlan:
     n = max(1, mem_budget_bytes // per)
     n = min(n, cfg.max_alignments)
     return BufferPlan(n, per, n * per)
+
+
+def myers_max_query_len(vmem_budget_bytes: int | None = None) -> int:
+    """Longest padded query whose Myers bit-vector state tile fits one
+    core's VMEM: the kernel keeps Pv + Mv + 4 Peq planes + the last-word
+    mask resident, each (Wq, 8, 128) uint32 (ops/myers_pallas.py), i.e.
+    7 x 4 KiB per 32-base query word.  Beyond this the single-chip fast
+    path is gone — exactly when Hirschberg levels should route to the
+    'sp' ring-wavefront axis (align/hirschberg.py auto-routing,
+    SURVEY §5.7)."""
+    if vmem_budget_bytes is None:
+        vmem_budget_bytes = int(os.environ.get("CGA_VMEM_BUDGET_BYTES", 0)
+                                ) or VMEM_BUDGET_BYTES
+    wq = max(1, vmem_budget_bytes // (7 * 8 * 128 * 4))
+    return wq * 32
 
 
 def plan_poa_batch(bs: BatchSize, mem_budget_bytes: int) -> BufferPlan:

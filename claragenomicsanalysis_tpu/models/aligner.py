@@ -186,9 +186,19 @@ class Aligner:
         from ..ops import nw_band
         from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
         cfg = self.config
-        use_pallas = (self.backend == "pallas"
-                      or (self.backend == "auto" and pallas_available()))
-        fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+        mesh_dp = (self.mesh is not None
+                   and self.mesh.shape.get("data", 1) > 1)
+        use_pallas = (not mesh_dp
+                      and (self.backend == "pallas"
+                           or (self.backend == "auto" and pallas_available())))
+        if mesh_dp:
+            # batch sharded over the mesh 'data' axis (bit-identical merge
+            # by construction; the sharded program is the XLA scan twin)
+            from ..parallel.shard import sharded_banded_nw
+            fn = (lambda qq, ql, tt, tl, r:
+                  sharded_banded_nw(qq, ql, tt, tl, r, self.mesh))
+        else:
+            fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
         qlen = np.asarray(qlen)
         tlen = np.asarray(tlen)
         B = q.shape[0]
@@ -234,8 +244,13 @@ def create_aligner(max_query_length: int, max_target_length: int,
                    band_radius: int = 64, algorithm: str = "ukkonen",
                    backend: str = "auto", mesh=None,
                    sp_min_len: int | None = None) -> Aligner:
-    """Factory mirroring the reference's create_aligner [U].  mesh +
-    sp_min_len route long hirschberg-myers levels to the 'sp' ring axis."""
+    """Factory mirroring the reference's create_aligner [U].
+
+    mesh: with a 'data' axis > 1, ukkonen batches shard across devices;
+    with an 'sp' axis > 1, hirschberg-myers levels too long for one
+    chip's VMEM-resident Myers state route to the ring-wavefront kernel
+    automatically (threshold from core.bufferplan.myers_max_query_len;
+    sp_min_len overrides it)."""
     if alignment_type != AlignmentType.GLOBAL_ALIGNMENT:
         raise ValueError("only global alignment is supported")
     cfg = AlignerConfig(max_query_length=max_query_length,

@@ -39,3 +39,41 @@ def test_simulate_cli_roundtrip(tmp_path):
          "--seed", "3"],
         capture_output=True, text=True, check=True)
     assert out.stdout == out2.stdout
+
+
+def test_align_cli_sp_auto_routing(tmp_path):
+    """VERDICT r2 #7 'Done' criterion: `cli align -d 8` aligns a pair too
+    large for the (budget-shrunk) single-chip Myers state with NO manual
+    sp threshold — the ring-wavefront 'sp' path engages automatically and
+    the output equals the single-device run."""
+    import os
+
+    import numpy as np
+
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        generate_random_genome, mutate_sequence)
+
+    rng = np.random.default_rng(5)
+    a = generate_random_genome(1500, rng)
+    b = mutate_sequence(a, 60, rng)
+    (tmp_path / "q.fa").write_text(f">q\n{a}\n")
+    (tmp_path / "t.fa").write_text(f">t\n{b}\n")
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               # shrink the VMEM plan so the 1.5 kb pair is "too large"
+               # for one chip (wall at 256 bases): the CLI subprocess then
+               # must route through the ring to finish
+               CGA_VMEM_BUDGET_BYTES=str(7 * 8 * 128 * 4 * 8))
+
+    def run(extra):
+        return subprocess.run(
+            [sys.executable, "-m", "claragenomicsanalysis_tpu.cli",
+             "align", str(tmp_path / "q.fa"), str(tmp_path / "t.fa"),
+             "--algorithm", "hirschberg-myers"] + extra,
+            capture_output=True, text=True, env=env, check=True, timeout=600)
+
+    sp = run(["-d", "8"])
+    assert "auto sp threshold 256" in sp.stderr, sp.stderr[-500:]
+    assert "\t-1\t" not in sp.stdout and sp.stdout.startswith("q\tt\t")
+    single = run([])
+    assert "auto sp threshold" not in single.stderr
+    assert sp.stdout == single.stdout

@@ -114,3 +114,34 @@ def test_hirschberg_routes_long_pairs_to_sp(rng, monkeypatch):
     nq = sum(1 for s in paths[0] if s in (0, 1, 2))
     nt = sum(1 for s in paths[0] if s in (0, 1, 3))
     assert (nq, nt) == (len(a), len(b))
+
+
+def test_hirschberg_auto_sp_threshold(rng, monkeypatch):
+    """VERDICT r2 #7: with an sp-capable mesh and NO manual sp_min_len the
+    VMEM-derived threshold (core.bufferplan.myers_max_query_len, shrunk
+    here via CGA_VMEM_BUDGET_BYTES) routes long levels to the ring
+    automatically; single-chip Myers never sees a level at/over it."""
+    from claragenomicsanalysis_tpu.align import hirschberg
+    from claragenomicsanalysis_tpu.core.bufferplan import myers_max_query_len
+    from claragenomicsanalysis_tpu.core.config import AlignerConfig
+
+    monkeypatch.setenv("CGA_VMEM_BUDGET_BYTES", str(7 * 8 * 128 * 4 * 16))
+    assert myers_max_query_len() == 512
+
+    a = generate_random_genome(1500, rng)
+    b = mutate_sequence(a, 60, rng)
+    mesh = make_mesh(data=1, rep=1, sp=8)
+    real_myers = hirschberg.myers_bottom_row
+
+    def guarded(q, qlen, t, tlen):
+        assert max(q.shape[1], t.shape[1]) < 512, (
+            "single-chip Myers used for a level the auto sp path must own")
+        return real_myers(q, qlen, t, tlen)
+
+    monkeypatch.setattr(hirschberg, "myers_bottom_row", guarded)
+    cfg = AlignerConfig(max_query_length=2048, max_target_length=2048,
+                        max_alignments=1)
+    paths, dists, statuses = hirschberg.hirschberg_align_batch(
+        [a], [b], cfg, mesh=mesh)          # no sp_min_len: auto
+    want = nw_oracle.nw_matrix(a, b)[len(a), len(b)]
+    assert int(dists[0]) == int(want)
