@@ -16,6 +16,7 @@ run() {
 }
 
 run myers_unroll  python scripts/ablate_myers_unroll.py
+run nw_diag       python scripts/ablate_nw_diag.py
 run sort_ablate   python scripts/ablate_sort.py
 run poa_v2_small  python scripts/bench_poa_v2.py --probe-tb
 run poa_v2_wpg    python scripts/bench_poa_v2.py --wpg

@@ -1,0 +1,105 @@
+"""Anti-diagonal banded-NW kernel (interpret mode on CPU) vs the XLA scan
+backend: scores and decoded paths bit-equal (ops/nw_diag_pallas.py)."""
+
+import numpy as np
+import pytest
+
+from claragenomicsanalysis_tpu.ops import nw_band
+from claragenomicsanalysis_tpu.ops.nw_diag_pallas import (
+    banded_nw_diag_pallas, traceback_paths_diag)
+from claragenomicsanalysis_tpu.utils.genomeutils import (
+    encode, generate_random_genome, mutate_sequence)
+
+
+def _pack(pairs, Lq, Lt):
+    q = np.stack([encode(a, Lq) for a, _ in pairs])
+    t = np.stack([encode(b, Lt) for _, b in pairs])
+    qlen = np.array([len(a) for a, _ in pairs], dtype=np.int32)
+    tlen = np.array([len(b) for _, b in pairs], dtype=np.int32)
+    return q, qlen, t, tlen
+
+
+def _check(pairs, Lq, Lt, r):
+    q, qlen, t, tlen = _pack(pairs, Lq, Lt)
+    s_scan, tb_scan = nw_band.banded_nw(q, qlen, t, tlen, r)
+    s_d, tb_d = banded_nw_diag_pallas(q, qlen, t, tlen, r, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s_scan), np.asarray(s_d))
+    p_scan = nw_band.traceback_paths(np.asarray(tb_scan), qlen, tlen, r,
+                                     use_native="never")
+    p_d = traceback_paths_diag(np.asarray(tb_d), qlen, tlen, r)
+    # paths are the semantic output only where the band admits a solution;
+    # overflow problems (score INF) get status + empty path in the aligner
+    # and their walks over unreachable cells need not agree
+    for b, sc in enumerate(np.asarray(s_d)):
+        if sc < int(nw_band.INF):
+            assert p_scan[b] == p_d[b], b
+
+
+def test_diag_matches_scan_backend(rng):
+    pairs = []
+    for _ in range(6):
+        a = generate_random_genome(int(rng.integers(1, 60)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 8)), rng)
+        pairs.append((a, b))
+    # boundary rows/cols + band overflow + empty-vs-empty
+    pairs += [("", "ACG"), ("ACG", ""), ("", ""), ("A" * 50, "A" * 3)]
+    _check(pairs, 64, 64, 8)
+
+
+@pytest.mark.parametrize("r", [4, 8, 13, 31])
+def test_diag_band_radii(rng, r):
+    pairs = []
+    for _ in range(5):
+        a = generate_random_genome(int(rng.integers(1, 90)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, r)), rng)[:96]
+        pairs.append((a, b))
+    _check(pairs, 96, 96, r)
+
+
+def test_diag_asymmetric_lengths(rng):
+    # Lq != Lt padded shapes and length gaps inside/outside the band
+    pairs = []
+    for _ in range(6):
+        a = generate_random_genome(int(rng.integers(20, 100)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 12)), rng)[
+            : int(rng.integers(8, 64))]
+        pairs.append((a, b))
+    _check(pairs, 104, 64, 16)
+
+
+def test_diag_internal_batch_padding(rng):
+    pairs = [("ACGT", "ACGA"), ("A", "T"), ("GG", "GG")]
+    q, qlen, t, tlen = _pack(pairs, 8, 8)
+    s, _ = banded_nw_diag_pallas(q, qlen, t, tlen, 4, interpret=True)
+    assert list(np.asarray(s))[:3] == [1, 1, 0]
+
+
+def test_diag_fuzz_vs_oracle(rng):
+    """Random shapes/radii; paths must cost exactly the reported distance
+    and reconstruct valid global alignments (oracle contract)."""
+    from claragenomicsanalysis_tpu.cpu import nw_oracle
+    for _ in range(4):
+        r = int(rng.integers(4, 24))
+        Lq = int(rng.integers(8, 120))
+        pairs = []
+        for _ in range(4):
+            a = generate_random_genome(int(rng.integers(1, Lq)), rng)
+            b = mutate_sequence(a, int(rng.integers(0, r)), rng)[:Lq]
+            pairs.append((a, b))
+        q, qlen, t, tlen = _pack(pairs, Lq + 8, Lq + 8)
+        s_d, tb_d = banded_nw_diag_pallas(q, qlen, t, tlen, r,
+                                          interpret=True)
+        paths = traceback_paths_diag(np.asarray(tb_d), qlen, tlen, r)
+        for b, (a_s, b_s) in enumerate(pairs):
+            sc = int(np.asarray(s_d)[b])
+            if sc >= int(nw_band.INF):
+                continue
+            path = paths[b]
+            cost = sum(1 for c in path if c != 0)
+            assert cost == sc
+            nq = sum(1 for c in path if c in (0, 1, 2))
+            nt = sum(1 for c in path if c in (0, 1, 3))
+            assert (nq, nt) == (len(a_s), len(b_s))
+            # banded DP = full DP whenever the optimum fits the band
+            full = int(nw_oracle.nw_matrix(a_s, b_s)[len(a_s), len(b_s)])
+            assert sc >= full
