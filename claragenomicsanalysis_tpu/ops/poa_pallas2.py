@@ -106,7 +106,8 @@ def _scatter_add(plane, mask, do_row, val_row):
 # --------------------------------------------------------------------------
 
 def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
-                       WPG: int, moves_tb: bool = True):
+                       WPG: int, moves_tb: bool = True,
+                       tb_mode: str = "sweep"):
     N = round_up(bs.padded_nodes, 8)
     P = bs.max_pred_per_node
     L = bs.padded_seq
@@ -118,11 +119,82 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
     GAP = int(sc.gap_score)
     BW = bs.band_width if banded else 0
     SCAN_QS = max(1, (L1 - 1).bit_length())
+    if tb_mode == "sweep" and not moves_tb:
+        raise ValueError("sweep traceback requires recorded moves")
+
+    def _sweep_traceback(carry, sel_vec, slen8, nc8v, act8, order_s,
+                         moves2, pn_out, pp_out, meta_out):
+        """Lockstep traceback over the WPG sub-batch.  Pred ranks are
+        strictly below a node's own rank (topological order), so every
+        window's row index is monotonically non-increasing along its walk:
+        a single top-down sweep serves all windows — each iteration steps
+        every window sitting at the current maximum row, so the moves-word
+        extraction, the path emission and the state updates are one vector
+        op each instead of WPG scalar walks.  Transition rules are exactly
+        the per-window walk's (body_moves), so outputs are bit-identical."""
+        vmax8, first8 = carry
+        kk = jax.lax.broadcasted_iota(jnp.int32, (WPG, TLS), 1)
+        r8 = jnp.where(nc8v > 0, first8, -1)
+        j8 = slen8
+        k8 = jnp.full((WPG, 1), TL, jnp.int32)
+        pn8 = jnp.zeros((WPG, TLS), jnp.int32)
+        pp8 = jnp.zeros((WPG, TLS), jnp.int32)
+
+        def alive_of(r8, j8, k8):
+            return (act8 != 0) & (k8 > 0) & ((r8 >= 0) | (j8 > 0))
+
+        def cond(c):
+            r8, j8, k8 = c[:3]
+            return jnp.any(alive_of(r8, j8, k8) & (r8 >= 0))
+
+        def body(c):
+            r8, j8, k8, pn8, pp8 = c
+            alive = alive_of(r8, j8, k8)
+            rmax = jnp.max(jnp.where(alive & (r8 >= 0), r8, NEG))
+            here = alive & (r8 == rmax)
+            rowvec = moves2[pl.ds(jnp.clip(rmax + 1, 0, N), 1)][0]
+            word8 = jnp.sum(jnp.where(_iota(L1) == j8, rowvec, 0),
+                            axis=1, keepdims=True)
+            u8 = sel_vec([order_s[wi, jnp.clip(rmax, 0, N - 1)]
+                          for wi in range(WPG)])
+            u8 = jnp.where((rmax >= 0) & (rmax < N), u8, -1)
+            move8 = word8 & 3
+            sel8 = (word8 >> 2) - 1
+            pn_val = jnp.where(move8 == 3, -1, u8)
+            pp_val = jnp.where(move8 == 1, -1, j8 - 1)
+            k2 = k8 - 1
+            m = here & (kk == k2)
+            pn8 = jnp.where(m, pn_val, pn8)
+            pp8 = jnp.where(m, pp_val, pp8)
+            r8 = jnp.where(here & (move8 <= 1), sel8, r8)
+            j8 = jnp.where(here & ((move8 == 0) | (move8 == 3)),
+                           j8 - 1, j8)
+            k8 = jnp.where(here, k2, k8)
+            return r8, j8, k8, pn8, pp8
+
+        r8, j8, k8, pn8, pp8 = jax.lax.while_loop(
+            cond, body, (r8, j8, k8, pn8, pp8))
+        # virtual-row tail: every remaining move of a window at r < 0 is
+        # horizontal — emit them all in one masked fill (step t of the
+        # tail writes pn[k-t] = -1, pp[k-t] = j-t, stopping when k hits 0)
+        tail = alive_of(r8, j8, k8)
+        kfin = jnp.where(tail, jnp.maximum(k8 - j8, 0), k8)
+        fill = tail & (kk >= kfin) & (kk < k8)
+        pn8 = jnp.where(fill, -1, pn8)
+        pp8 = jnp.where(fill, kk + j8 - k8, pp8)
+        pn_out[...] = pn8
+        pp_out[...] = pp8
+        band8 = jnp.where(act8 != 0,
+                          (vmax8 > NEG // 2).astype(jnp.int32), 1)
+        for wi in range(WPG):
+            meta_out[wi, 0] = kfin[wi, 0]
+            meta_out[wi, 1] = band8[wi, 0]
 
     def kernel(seqsh_ref, seq_s, meta_s, order_s, rank_s, npred_s, base_s,
                nsucc_s, pred_s, pn_out, pp_out, meta_out, smat2,
                moves2=None):
         jj = _iota(L1)
+        sweep = tb_mode == "sweep"
 
         def sel_vec(vals):
             si = jax.lax.broadcasted_iota(jnp.int32, (WPG, 1), 0)
@@ -147,24 +219,55 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                                               (1, WPG, L1))
         if BW > 0:
             nc8 = sel_vec(ncs)
+        if sweep:
+            # find_end folds into the row loop: running (vmax, first) per
+            # window over sink rows, exactly the per-window walk's
+            # tie-break (strictly-better replaces; equal keeps earlier r)
+            nc8v = sel_vec(ncs)
+            act8 = sel_vec([a.astype(jnp.int32) for a in acts])
 
-        def nw_body(r, _):
-            bases = []
+        T0 = min(P, 4)
+
+        def nw_body(r, carry):
+            bases, sinks, npreds, us = [], [], [], []
+            # per (window, static-slot) rank scalars, reused by the moves
+            # pass; slots past T0 are handled by the dynamic tail loops
+            prs = [[None] * T0 for _ in range(WPG)]
+            oks = [[None] * T0 for _ in range(WPG)]
             for wi in range(WPG):
                 u = jnp.clip(order_s[wi, jnp.clip(r, 0, N - 1)], 0, N - 1)
                 npred_u = npred_s[wi, u]
+                npreds.append(npred_u)
+                us.append(u)
                 bases.append(base_s[wi, u])
-
-                def pred_step(p, pmax, u=u, wi=wi):
+                if sweep:
+                    sinks.append((nsucc_s[wi, u] == 0).astype(jnp.int32))
+                for p in range(T0):
                     pi = pred_s[wi, p, u]
-                    pr = rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1
-                    prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
-                    return jnp.maximum(pmax, prow)
+                    virt = (p == 0) & (npred_u == 0)
+                    prs[wi][p] = jnp.where(
+                        virt, 0, rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1)
+                    oks[wi][p] = (p < npred_u) | virt
 
-                pmax0 = jnp.full((1, L1), NEG, jnp.int32)
-                pmax = jax.lax.fori_loop(0, npred_u, pred_step, pmax0)
-                pmax = jnp.where(npred_u == 0,
-                                 smat2[pl.ds(0, 1), wi, :], pmax)
+                # wide-P configs (P = S = 16 pileups) keep the common case
+                # cheap: the first T0 slots are static reads; the tail runs
+                # as a dynamic fori that trips only for nodes that actually
+                # accumulated many preds (Mosaic rejects scf.if with vector
+                # carries, but dynamic fori with a row carry lowers fine)
+                pmax = jnp.full((1, L1), NEG, jnp.int32)
+                for p in range(T0):
+                    prow = smat2[pl.ds(jnp.clip(prs[wi][p], 0, N), 1),
+                                 wi, :]
+                    pmax = jnp.where(oks[wi][p],
+                                     jnp.maximum(pmax, prow), pmax)
+                if P > T0:
+                    def pmax_tail(p, pmax, wi=wi, u=u):
+                        pi = pred_s[wi, p, u]
+                        pr = rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1
+                        prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
+                        return jnp.maximum(pmax, prow)
+
+                    pmax = jax.lax.fori_loop(T0, npred_u, pmax_tail, pmax)
                 smat2[pl.ds(N + 2, 1), wi, :] = pmax  # assembly row N+2
 
             pmax8 = smat2[pl.ds(N + 2, 1)][0]        # (WPG, L1)
@@ -195,40 +298,87 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 # Record a packed move word per cell: 2-bit move (0 diag,
                 # 1 vert, 3 horiz) | (chosen pred rank) << 2, derived with
                 # exactly the traceback probe's first-slot tie-break, so
-                # the walk later reads ONE word per step.
+                # the walk later reads ONE word per step.  Diagonal flags
+                # accumulate in shifted (j-1) space — d_ok[j] tests
+                # prow[j-1] + sub[j] == row[j], i.e. prow[t] == rsub[t]
+                # with rsub = roll_left(row - sub) — so each pred slot
+                # costs zero rolls; one roll per window realigns at the
+                # end.
                 for wi in range(WPG):
-                    u = jnp.clip(order_s[wi, jnp.clip(r, 0, N - 1)],
-                                 0, N - 1)
-                    npred_u = npred_s[wi, u]
                     row_wi = row[wi][None]
                     sub_wi = sub[wi][None]
-                    any_d = jnp.zeros((1, L1), jnp.bool_)
-                    any_v = jnp.zeros((1, L1), jnp.bool_)
-                    sel_d = jnp.zeros((1, L1), jnp.int32)
+                    rsub = pltpu.roll(row_wi - sub_wi, shift=L1 - 1,
+                                      axis=1)  # roll left by one
+
+                    # any_dm is int32, not bool: Mosaic cannot rotate i1
+                    # vectors, and it gets rolled back to j space below
+                    any_dm = jnp.zeros((1, L1), jnp.int32)
+                    any_v = jnp.zeros((1, L1), jnp.int32)
+                    sel_dm = jnp.zeros((1, L1), jnp.int32)
                     sel_v = jnp.zeros((1, L1), jnp.int32)
-                    for p in range(P):
-                        pi = pred_s[wi, p, u]
-                        virt = (p == 0) & (npred_u == 0)
-                        slot_ok = (p < npred_u) | virt
-                        pr = jnp.where(
-                            virt, 0, rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1)
+                    for p in range(T0):
+                        pr, slot_ok = prs[wi][p], oks[wi][p]
                         prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
-                        prow_sh = pltpu.roll(prow, shift=1, axis=1)
-                        d_ok = (slot_ok & (jj >= 1)
-                                & (prow_sh + sub_wi == row_wi))
+                        dm_ok = slot_ok & (prow == rsub)
                         v_ok = slot_ok & (prow + GAP == row_wi)
-                        sel_d = jnp.where(d_ok & ~any_d, pr - 1, sel_d)
-                        sel_v = jnp.where(v_ok & ~any_v, pr - 1, sel_v)
-                        any_d = any_d | d_ok
-                        any_v = any_v | v_ok
-                    move = jnp.where(any_d, 0, jnp.where(any_v, 1, 3))
+                        sel_dm = jnp.where(dm_ok & (any_dm == 0),
+                                           pr - 1, sel_dm)
+                        sel_v = jnp.where(v_ok & (any_v == 0),
+                                          pr - 1, sel_v)
+                        any_dm = jnp.where(dm_ok, 1, any_dm)
+                        any_v = jnp.where(v_ok, 1, any_v)
+                    if P > T0:
+                        def move_tail(p, mc, wi=wi, rsub=rsub,
+                                      row_wi=row_wi):
+                            any_dm, any_v, sel_dm, sel_v = mc
+                            pi = pred_s[wi, p, us[wi]]
+                            pr = rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1
+                            prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1),
+                                         wi, :]
+                            dm_ok = prow == rsub
+                            v_ok = prow + GAP == row_wi
+                            sel_dm = jnp.where(dm_ok & (any_dm == 0),
+                                               pr - 1, sel_dm)
+                            sel_v = jnp.where(v_ok & (any_v == 0),
+                                              pr - 1, sel_v)
+                            any_dm = jnp.where(dm_ok, 1, any_dm)
+                            any_v = jnp.where(v_ok, 1, any_v)
+                            return any_dm, any_v, sel_dm, sel_v
+
+                        any_dm, any_v, sel_dm, sel_v = jax.lax.fori_loop(
+                            T0, npreds[wi], move_tail,
+                            (any_dm, any_v, sel_dm, sel_v))
+                    any_d = ((jj >= 1)
+                             & (pltpu.roll(any_dm, shift=1, axis=1) != 0))
+                    sel_d = pltpu.roll(sel_dm, shift=1, axis=1)
+                    move = jnp.where(any_d, 0, jnp.where(any_v != 0, 1, 3))
                     sel = jnp.where(any_d, sel_d,
-                                    jnp.where(any_v, sel_v, 0))
+                                    jnp.where(any_v != 0, sel_v, 0))
                     moves2[pl.ds(r + 1, 1), wi, :] = (
                         move | ((sel + 1) << 2))
-            return ()
 
-        jax.lax.fori_loop(0, max_nc, nw_body, ())
+            if not sweep:
+                return carry
+            vmax8, first8 = carry
+            v8 = jnp.sum(jnp.where(jj == slen8, row, 0), axis=1,
+                         keepdims=True)
+            sink8 = sel_vec(sinks)
+            upd = (sink8 != 0) & (r < nc8v) & (act8 != 0)
+            better = upd & (v8 > vmax8)
+            tie = upd & (v8 == vmax8) & (r < first8)
+            first8 = jnp.where(better | tie, r, first8)
+            vmax8 = jnp.where(better, v8, vmax8)
+            return vmax8, first8
+
+        carry0 = ((jnp.full((WPG, 1), NEG, jnp.int32),
+                   jnp.full((WPG, 1), 2**30, jnp.int32))
+                  if sweep else ())
+        end_carry = jax.lax.fori_loop(0, max_nc, nw_body, carry0)
+
+        if sweep:
+            _sweep_traceback(end_carry, sel_vec, slen8, nc8v, act8,
+                             order_s, moves2, pn_out, pp_out, meta_out)
+            return
 
         # ---------------------------------------------------- traceback
         for wi in range(WPG):
@@ -358,13 +508,16 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
 
 def _nwtb_pallas(bs: BatchSize, sc: PoaScores, banded: bool, interpret: bool,
                  WPG: int, seq, order, rank, npred, base, nsucc, pred,
-                 slen, node_count, alive, moves_tb: bool = True):
+                 slen, node_count, alive, moves_tb: bool = True,
+                 tb_mode: str = "sweep"):
     """Run the NW+traceback kernel for one added sequence over all windows.
 
     seq: (W, L) int32 codes; pred: (W, N, P); scalar per-window rows are
     (W,).  Returns (pn (W, TL), pp (W, TL), k0 (W,), band_ok (W,))."""
     W = seq.shape[0]
-    kernel, d = _build_nwtb_kernel(bs, sc, banded, WPG, moves_tb)
+    if not moves_tb:
+        tb_mode = "walk"
+    kernel, d = _build_nwtb_kernel(bs, sc, banded, WPG, moves_tb, tb_mode)
     N, P, L, L1, TL, TLS = (d["N"], d["P"], d["L"], d["L1"], d["TL"],
                             d["TLS"])
     NS = round_up(N, 128)
@@ -400,12 +553,13 @@ def _nwtb_pallas(bs: BatchSize, sc: PoaScores, banded: bool, interpret: bool,
                             lambda w: (w,) + (0,) * len(shape),
                             memory_space=pltpu.SMEM)
 
+    path_spec = vspec(TLS) if tb_mode == "sweep" else sspec(TLS)
     pn, pp, meta_out = pl.pallas_call(
         kernel,
         grid=(Wp // WPG,),
         in_specs=[vspec(L1), sspec(L128), sspec(128), sspec(NS), sspec(NS),
                   sspec(NS), sspec(NS), sspec(NS), sspec(P8, NS)],
-        out_specs=(sspec(TLS), sspec(TLS), sspec(128)),
+        out_specs=(path_spec, path_spec, sspec(128)),
         out_shape=(jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
                    jax.ShapeDtypeStruct((Wp, TLS), jnp.int32),
                    jax.ShapeDtypeStruct((Wp, 128), jnp.int32)),
@@ -726,9 +880,13 @@ def _add_pallas(bs: BatchSize, msa: bool, interpret: bool, state, pn, pp,
 
     ins = [pnT, ppT, seqT, wT, meta, baseT, covT, npredT, nsuccT, naligT,
            predT, predwT, aligT]
-    in_specs = [spec(TLS), spec(TLS), spec(L128), spec(L128), spec(8),
-                spec(N), spec(N), spec(N), spec(N), spec(N),
-                spec(P, N), spec(P, N), spec(A, N)]
+    # state planes stay in HBM (ANY) and are DMA-seeded into the aliased
+    # VMEM output blocks by _wrap_add — one VMEM copy of the graph state
+    # instead of two, which is what lets correction-shaped configs
+    # (P = S = 16) fit the per-core VMEM budget
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    in_specs = [spec(TLS), spec(TLS), spec(L128), spec(L128), spec(8)] + \
+        [any_spec] * 8
     out_specs = [spec(8), spec(L128), spec(N), spec(N), spec(N), spec(N),
                  spec(N), spec(P, N), spec(P, N), spec(A, N)]
     out_shape = [jax.ShapeDtypeStruct((8, Wp), jnp.int32),
@@ -746,13 +904,14 @@ def _add_pallas(bs: BatchSize, msa: bool, interpret: bool, state, pn, pp,
     aliases = {5: 2, 6: 3, 7: 4, 8: 5, 9: 6, 10: 7, 11: 8, 12: 9}
 
     outs = pl.pallas_call(
-        _wrap_add(kernel),
+        _wrap_add(kernel, LANES),
         grid=(Wp // LANES,),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((TLS, LANES), jnp.int32),
-                        pltpu.VMEM((TLS, LANES), jnp.int32)],
+                        pltpu.VMEM((TLS, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         input_output_aliases=aliases,
         interpret=interpret,
     )(*ins)
@@ -774,20 +933,25 @@ def _add_pallas(bs: BatchSize, msa: bool, interpret: bool, state, pn, pp,
         path_row=ut(pathsT, L))
 
 
-def _wrap_add(kernel):
-    """Seed the mutable state-plane OUTPUT refs from their input twins
-    (output blocks start uninitialized even when aliased), then run the
-    kernel against the output refs — its in-place mutations are the
-    updated state."""
+def _wrap_add(kernel, LANES):
+    """Seed the mutable state-plane OUTPUT refs from their HBM input twins
+    (one DMA per plane — the inputs are ANY-space so the graph state holds
+    VMEM only once), then run the kernel against the output refs — its
+    in-place mutations are the updated state."""
     def wrapped(pnT, ppT, seqT, wT, meta, base_in, cov_in, npred_in,
                 nsucc_in, nalig_in, pred_in, predw_in, alig_in,
                 meta_out, pathsT, baseT, covT, npredT, nsuccT, naligT,
-                predT, predwT, aligT, targT, sjT):
+                predT, predwT, aligT, targT, sjT, dma_sem):
+        w = pl.program_id(0)
+        lanes = pl.ds(w * LANES, LANES)
         for dst, src in ((baseT, base_in), (covT, cov_in),
                          (npredT, npred_in), (nsuccT, nsucc_in),
                          (naligT, nalig_in), (predT, pred_in),
                          (predwT, predw_in), (aligT, alig_in)):
-            dst[...] = src[...]
+            sl = (slice(None),) * (len(src.shape) - 1) + (lanes,)
+            cp = pltpu.make_async_copy(src.at[sl], dst, dma_sem)
+            cp.start()
+            cp.wait()
         kernel(pnT, ppT, seqT, wT, meta, baseT, covT, npredT, nsuccT,
                naligT, predT, predwT, aligT, meta_out, pathsT, targT, sjT)
     return wrapped
@@ -1281,12 +1445,12 @@ VMEM_BUDGET = 14 * 2**20
 
 def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
                         WPG: int = 8) -> int:
-    """Peak VMEM one grid step of the fattest v2 kernel needs (the add
-    kernel holds every state plane twice — input + aliased output — plus
-    the path columns; the NW kernel holds two (N+3, WPG, L1) score/moves
-    tensors).  models/poa routes configs that cannot fit the ~16 MiB/core
-    VMEM away from this backend: P scales the plane count linearly, so
-    correction-shaped windows (P = S = 16, N ~ 3*window) do not fit."""
+    """Peak VMEM one grid step of the fattest v2 kernel needs.  The add
+    kernel holds the graph state planes ONCE (inputs stay in HBM and are
+    DMA-seeded into the aliased VMEM output blocks) plus pn/pp, seq/w,
+    targ/sj scratch and the path plane; the NW kernel holds two
+    (N+3, WPG, L1) score/moves tensors.  models/poa routes configs that
+    cannot fit the ~14 MiB/core budget away from this backend."""
     N = round_up(bs.padded_nodes, 8)
     P = bs.max_pred_per_node
     A = bs.max_aligned_per_node
@@ -1295,8 +1459,8 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
     L128 = round_up(L, 128)
     TLS = round_up(N + L, 128)
     W = 128
-    add_bytes = 4 * W * (N * (2 * (5 + 2 * P + A) + 2)   # planes, in+out
-                         + 4 * L + 2 * TLS + 16          # seq/w/pn/pp
+    add_bytes = 4 * W * (N * (5 + 2 * P + A)             # planes, one copy
+                         + 2 * L128 + 4 * TLS + 16       # seq/w, pn/pp+scr
                          + (L128 if msa else 0))         # path_row plane
     nwtb_bytes = 2 * 4 * (N + 3) * WPG * L1              # scores + moves
     return max(add_bytes, nwtb_bytes)
@@ -1311,13 +1475,14 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
 
 @functools.partial(jax.jit, static_argnames=("bs", "sc", "banded", "msa",
                                              "interpret", "phases", "WPG",
-                                             "moves_tb"))
+                                             "moves_tb", "tb_mode"))
 def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
                       sc: PoaScores, banded: bool = False, msa: bool = False,
                       interpret: bool = False,
                       phases: tuple = ("nwtb", "add", "topsort",
                                        "consensus", "msa"),
-                      WPG: int = 8, moves_tb: bool = True):
+                      WPG: int = 8, moves_tb: bool = True,
+                      tb_mode: str = "sweep"):
     """Same contract as models/poa._build_program(bs, sc, msa, banded):
     returns (codes (W, MC), covs (W, MC), length (W,), rows (W, S, MCOL),
     n_cols (W,), status (W,))."""
@@ -1351,7 +1516,7 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
             pn, pp, k0, band_ok = _nwtb_pallas(
                 bs, sc, banded, interpret, WPG, seq, order, rank,
                 state.npred, state.base, state.nsucc, state.pred,
-                slen, state.node_count, alive, moves_tb)
+                slen, state.node_count, alive, moves_tb, tb_mode)
         else:
             bw = bs.band_width if banded else 0
             Smat = jax.vmap(

@@ -86,7 +86,14 @@ def main():
                 "MiB": need >> 20}), flush=True)
             continue
         fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
-        dt = time_scanned(fn, datasets, loops=2)
+        try:
+            dt = time_scanned(fn, datasets, loops=2)
+        except Exception as e:  # e.g. Mosaic block-shape limits for WPG<8
+            print(json.dumps({"kernel": name,
+                              "skipped": type(e).__name__,
+                              "detail": str(e).split("\n")[0][:160]}),
+                  flush=True)
+            continue
         print(json.dumps({
             "kernel": name, "msa": msa,
             "batch_ms": round(dt * 1e3, 2),

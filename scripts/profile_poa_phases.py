@@ -27,15 +27,16 @@ from claragenomicsanalysis_tpu.utils.genomeutils import (  # noqa: E402
     encode, generate_random_genome, mutate_sequence)
 
 
-def make_batch(rng, bs):
+def make_batch(rng, bs, blen):
     W, S, L = 128, bs.max_sequences_per_poa, bs.padded_seq
     seqs = np.full((W, S, L), -1, np.int32)
     weights = np.zeros((W, S, L), np.int32)
     lens = np.zeros((W, S), np.int32)
     for wi in range(W):
-        base = generate_random_genome(100, rng)
+        base = generate_random_genome(blen, rng)
         for si in range(S):
-            s = mutate_sequence(base, 5, rng)[:bs.max_sequence_size]
+            s = mutate_sequence(base, max(5, blen // 20),
+                                rng)[:bs.max_sequence_size]
             seqs[wi, si, : len(s)] = encode(s)
             weights[wi, si, : len(s)] = 1
             lens[wi, si] = len(s)
@@ -43,9 +44,16 @@ def make_batch(rng, bs):
 
 
 def main():
-    bs = BatchSize(max_sequence_size=128, max_sequences_per_poa=8,
-                   max_pred_per_node=4, max_aligned_per_node=4,
-                   max_nodes_per_window=256)
+    if "--pileup" in sys.argv:
+        bs = BatchSize(max_sequence_size=256, max_sequences_per_poa=16,
+                       max_pred_per_node=16, max_aligned_per_node=8,
+                       max_nodes_per_window=512)
+        blen = 250
+    else:
+        bs = BatchSize(max_sequence_size=128, max_sequences_per_poa=8,
+                       max_pred_per_node=4, max_aligned_per_node=4,
+                       max_nodes_per_window=256)
+        blen = 100
     sc = PoaScores()
     N = bs.padded_nodes
     S = bs.max_sequences_per_poa
@@ -88,7 +96,7 @@ def main():
     datasets = []
     treedef = None
     for _ in range(K):
-        seqs, weights, lens, n_seqs = make_batch(rng, bs)
+        seqs, weights, lens, n_seqs = make_batch(rng, bs, blen)
         seqs, weights, lens = (jnp.asarray(seqs), jnp.asarray(weights),
                                jnp.asarray(lens))
         state, level, pn, pp, k0 = build_state(seqs, weights, lens)
