@@ -108,9 +108,8 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
 def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
     """Solve small fragments with the canonical banded-NW kernel, bucketed by
     power-of-two band radius (r = max side covers any path)."""
-    from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
-    use_pallas = pallas_available()
-    nw_fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+    from ..ops.banded import resolve
+    _, nw_fn, decode_fn = resolve("auto")
     buckets: dict[int, list[_Frag]] = {}
     for f in base:
         side = max(f.qhi - f.qlo, f.thi - f.tlo, 1)
@@ -129,11 +128,7 @@ def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
         qlen[: len(fs)] = [len(x) for x in qs]
         tlen[: len(fs)] = [len(x) for x in ts]
         _, tb = nw_fn(q, qlen, t, tlen, r)
-        if use_pallas:
-            from ..ops.tb_decode_pallas import traceback_paths_device
-            sub = traceback_paths_device(tb, qlen, tlen, r)
-        else:
-            sub = nw_band.traceback_paths(np.asarray(tb), qlen, tlen, r)
+        sub = decode_fn(tb, qlen, tlen, r)
         for f, p in zip(fs, sub):
             pieces[f.pair].append((f.qlo, f.tlo, p))
 

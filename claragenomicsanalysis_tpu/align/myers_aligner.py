@@ -56,10 +56,11 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
                       queries: list[str] | None = None,
                       targets: list[str] | None = None):
     """Returns (paths, dists, statuses) for the packed batch."""
-    from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
-    use_pallas = (backend == "pallas"
+    from ..ops.banded import resolve, tb_bytes_per_problem
+    from ..ops.nw_band_pallas import pallas_available
+    use_pallas = (backend.startswith("pallas")
                   or (backend == "auto" and pallas_available()))
-    nw_fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+    kind, nw_fn, decode_fn = resolve(backend if use_pallas else "xla")
 
     B = q.shape[0]
     _, scores = myers_bottom_row(q, qlen, t, tlen)
@@ -74,42 +75,32 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     buckets: dict[int, list[int]] = {}
     hirsch: list[int] = []
     Lq = q.shape[1]
-    tb_div = 4 if use_pallas else 1       # Pallas tb is 2-bit packed
     tb_cap = (TB_BYTES_PER_PROBLEM_PACKED if use_pallas
               else TB_BYTES_PER_PROBLEM)
-    if use_pallas:
-        # the Pallas kernel's band rounds to 8 sublanes (band_width_sub),
-        # not the XLA backend's 128 lanes — sizing with band_width() would
-        # overestimate packed tb bytes up to ~5x at small radii and
-        # mis-route long low-error pairs to the slow Hirschberg path
-        from ..ops.nw_band_pallas import band_width_sub as _bw
-    else:
-        _bw = nw_band.band_width
+    # per-problem tb bytes of the SELECTED kernel layout (the Pallas kinds
+    # pack 2-bit codes; sizing with the XLA 128-lane band_width would
+    # overestimate up to ~5x and mis-route long low-error pairs to the
+    # slow Hirschberg path)
+    Lt = t.shape[1]
     for b in range(B):
         if qlen[b] == 0 and tlen[b] == 0:
             continue                      # batch-padding rows: empty path
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
         if (queries is not None and b < len(queries)
-                and Lq * _bw(r) // tb_div > tb_cap):
+                and tb_bytes_per_problem(Lq, Lt, r, kind) > tb_cap):
             hirsch.append(b)
         else:
             buckets.setdefault(r, []).append(b)
 
     for r, idxs in sorted(buckets.items()):
         # chunk each bucket so per-dispatch tb bytes stay within budget
-        per = max(1, Lq * _bw(r) // tb_div)
+        per = max(1, tb_bytes_per_problem(Lq, Lt, r, kind))
         chunk = max(8, min(len(idxs), MEM_BUDGET_PER_DISPATCH // per))
         for s0 in range(0, len(idxs), chunk):
             sel = np.array(idxs[s0: s0 + chunk])
             _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
-            if use_pallas:
-                from ..ops.tb_decode_pallas import traceback_paths_device
-                sub_paths = traceback_paths_device(tb, qlen[sel], tlen[sel],
-                                                   r)
-            else:
-                sub_paths = nw_band.traceback_paths(np.asarray(tb),
-                                                    qlen[sel], tlen[sel], r)
+            sub_paths = decode_fn(tb, qlen[sel], tlen[sel], r)
             for k, b in enumerate(idxs[s0: s0 + chunk]):
                 paths[b] = sub_paths[k]
 

@@ -184,21 +184,19 @@ class Aligner:
         alignable — the band is widened per pair.  Pairs are bucketed by
         power-of-two widening so only O(log L) executables exist."""
         from ..ops import nw_band
-        from ..ops.nw_band_pallas import banded_nw_pallas, pallas_available
+        from ..ops.banded import resolve
         cfg = self.config
         mesh_dp = (self.mesh is not None
                    and self.mesh.shape.get("data", 1) > 1)
-        use_pallas = (not mesh_dp
-                      and (self.backend == "pallas"
-                           or (self.backend == "auto" and pallas_available())))
         if mesh_dp:
             # batch sharded over the mesh 'data' axis (bit-identical merge
             # by construction; the sharded program is the XLA scan twin)
             from ..parallel.shard import sharded_banded_nw
             fn = (lambda qq, ql, tt, tl, r:
                   sharded_banded_nw(qq, ql, tt, tl, r, self.mesh))
+            decode = resolve("xla")[2]
         else:
-            fn = banded_nw_pallas if use_pallas else nw_band.banded_nw
+            _, fn, decode = resolve(self.backend)
         qlen = np.asarray(qlen)
         tlen = np.asarray(tlen)
         B = q.shape[0]
@@ -222,13 +220,9 @@ class Aligner:
                 sel = np.array(idxs[s0: s0 + chunk])
                 sc, tb = fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
                 scores[sel] = np.asarray(sc)[: len(sel)]
-                if use_pallas:
-                    # decode on device: only path bytes leave the chip
-                    from ..ops.tb_decode_pallas import traceback_paths_device
-                    sub = traceback_paths_device(tb, qlen[sel], tlen[sel], r)
-                else:
-                    sub = nw_band.traceback_paths(np.asarray(tb), qlen[sel],
-                                                  tlen[sel], r)
+                # Pallas kinds decode on device: only path bytes leave
+                # the chip; the XLA kind decodes its int8 tb on host
+                sub = decode(tb, qlen[sel], tlen[sel], r)
                 for k, b in enumerate(sel):
                     paths[b] = sub[k]
 

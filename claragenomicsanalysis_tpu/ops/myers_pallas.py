@@ -116,13 +116,15 @@ def _kernel(peq_ref, t_ref, msk_ref, qlen_ref, rows_ref, pv_ref, mv_ref,
 @functools.partial(jax.jit, static_argnames=("n_words", "interpret",
                                               "unroll"))
 def myers_bottom_row_pallas(q, qlen, t, tlen, n_words: int | None = None,
-                            interpret: bool = False, unroll: int = 1):
+                            interpret: bool = False, unroll: int = 2):
     """Drop-in replacement for ops.myers.myers_bottom_row: returns
     (rows (B, Lt+1) int32, scores (B,) int32).
 
     unroll: column-unroll factor U (must divide 32); every U produces
     bit-identical output — it only trades register pressure against
-    Pv/Mv/Peq memory traffic (see _kernel)."""
+    Pv/Mv/Peq memory traffic (see _kernel).  Default 2: the on-chip sweep
+    (scripts/ablate_myers_unroll.py, 2026-08-19 v5e) measured
+    U=1/2/4/8 -> 3933/4054/3942/3879 Gcells/s."""
     B, Lq = q.shape
     Lt = t.shape[1]
     Wq = n_words or num_words(Lq)

@@ -31,7 +31,7 @@ from ..utils.mathutils import round_up
 
 
 def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
-            W: int, TL: int):
+            W: int, TL: int, diag: bool):
     b = pl.program_id(0)
     qlen = qlen_s[b]                       # scalar-prefetched (B,) arrays
     tlen = tlen_s[b]
@@ -56,11 +56,22 @@ def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
 
     def body(c):
         i, j, k = c
-        lane = jnp.clip(r + j - i, 0, W - 1)
-        row = jnp.clip((i - 1) >> 2, 0, tb32.shape[0] - 1)
+        if diag:
+            # anti-diagonal layout (ops/nw_diag_pallas.py): cell (i, j)
+            # lives at diagonal d = i + j, sublane u' = (j-i+r-par)/2 with
+            # par = (d+r)&1; four DIAGONALS pack per byte
+            d = i + j
+            par = (d + r) & 1
+            lane = jnp.clip((r + j - i - par) >> 1, 0, W - 1)
+            row = jnp.clip(d >> 2, 0, tb32.shape[0] - 1)
+            shift = 2 * (d & 3)
+        else:
+            lane = jnp.clip(r + j - i, 0, W - 1)
+            row = jnp.clip((i - 1) >> 2, 0, tb32.shape[0] - 1)
+            shift = 2 * ((i - 1) & 3)
         byte_row = tb32[pl.ds(row, 1), :]                # (1, W) int32
         byte = jnp.sum(jnp.where(lane_w == lane, byte_row, 0))
-        code = (byte >> (2 * ((i - 1) & 3))) & 3
+        code = (byte >> shift) & 3
         code = jnp.where(i == 0, 3, code)                # row 0: deletions
         k2 = k - 1
         word = k2 >> 4
@@ -73,15 +84,17 @@ def _kernel(qlen_s, tlen_s, tb_ref, path_ref, start_ref, tb32, *, r: int,
     start_ref[0, 0] = k
 
 
-@functools.partial(jax.jit, static_argnames=("band_radius", "interpret"))
-def _decode(tb, qlen, tlen, band_radius, interpret):
+@functools.partial(jax.jit, static_argnames=("band_radius", "interpret",
+                                              "diag"))
+def _decode(tb, qlen, tlen, band_radius, interpret, diag=False):
     Lq4, B, W = tb.shape
     Lq = Lq4 * 4
     # a global path has at most qlen + tlen <= Lq + (Lq + 2r) moves within
-    # the band; round to a 2048 multiple so the PACKED output row
+    # the band (row layout) or <= Dpad (diag layout: Lq4 counts packed
+    # DIAGONALS); round to a 2048 multiple so the PACKED output row
     # (16 codes/int32) keeps a 128-lane SMEM block shape
-    TL = round_up(2 * Lq + 2 * band_radius + 8, 2048)
-    kernel = functools.partial(_kernel, r=band_radius, W=W, TL=TL)
+    TL = round_up((Lq if diag else 2 * Lq + 2 * band_radius) + 8, 2048)
+    kernel = functools.partial(_kernel, r=band_radius, W=W, TL=TL, diag=diag)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,             # qlen, tlen as (B,) SMEM arrays
         grid=(B,),
@@ -116,9 +129,12 @@ _DECODE_CHUNK = 8192
 
 
 def traceback_paths_device(tb, qlen, tlen, band_radius: int,
-                           interpret: bool = False) -> list[list[int]]:
+                           interpret: bool = False,
+                           diag: bool = False) -> list[list[int]]:
     """Drop-in for nw_band.traceback_paths on a PACKED device-resident tb:
-    decodes on device, downloads only path bytes."""
+    decodes on device, downloads only path bytes.  diag=True decodes the
+    anti-diagonal layout of ops/nw_diag_pallas.banded_nw_diag_pallas
+    (semantics of its traceback_paths_diag host decoder)."""
     tb = jnp.asarray(tb)
     qlen = jnp.asarray(qlen, jnp.int32)
     tlen = jnp.asarray(tlen, jnp.int32)
@@ -136,7 +152,7 @@ def traceback_paths_device(tb, qlen, tlen, band_radius: int,
     for s in range(0, tb.shape[1], _DECODE_CHUNK):
         e = s + min(_DECODE_CHUNK, tb.shape[1])
         packed, start = _decode(tb[:, s:e], qlen[s:e], tlen[s:e],
-                                band_radius, interpret)
+                                band_radius, interpret, diag)
         # unpack 16 2-bit codes per int32 word (vectorized; the download
         # above was 16x smaller than one int32 per move)
         pw = np.asarray(packed).astype(np.uint32)        # (Bc, TL/16)

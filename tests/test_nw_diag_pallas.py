@@ -74,6 +74,53 @@ def test_diag_internal_batch_padding(rng):
     assert list(np.asarray(s))[:3] == [1, 1, 0]
 
 
+def test_diag_device_decode_matches_host(rng):
+    """traceback_paths_device(diag=True) (interpret mode) == the host
+    decoder on every in-band problem, including i==0 deletion tails."""
+    from claragenomicsanalysis_tpu.ops.tb_decode_pallas import (
+        traceback_paths_device)
+    pairs = []
+    for _ in range(6):
+        a = generate_random_genome(int(rng.integers(1, 90)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 10)), rng)[:96]
+        pairs.append((a, b))
+    pairs += [("", "ACG"), ("ACG", ""), ("A" * 40, "A" * 30)]
+    q, qlen, t, tlen = _pack(pairs, 96, 96)
+    r = 16
+    s_d, tb_d = banded_nw_diag_pallas(q, qlen, t, tlen, r, interpret=True)
+    host = traceback_paths_diag(np.asarray(tb_d), qlen, tlen, r)
+    dev = traceback_paths_device(tb_d, qlen, tlen, r, interpret=True,
+                                 diag=True)
+    for b, sc in enumerate(np.asarray(s_d)):
+        if sc < int(nw_band.INF):
+            assert host[b] == dev[b], b
+
+
+def test_banded_resolve_kinds(rng):
+    """ops/banded.resolve: every kind produces identical paths on the same
+    batch (the dispatch seam the aligner/myers/hirschberg sites share)."""
+    from claragenomicsanalysis_tpu.ops.banded import resolve
+    pairs = []
+    for _ in range(5):
+        a = generate_random_genome(int(rng.integers(10, 80)), rng)
+        b = mutate_sequence(a, int(rng.integers(0, 8)), rng)
+        pairs.append((a, b))
+    q, qlen, t, tlen = _pack(pairs, 88, 88)
+    r = 16
+    outs = {}
+    for backend in ("xla", "pallas-row", "pallas-diag"):
+        kind, nw_fn, decode_fn = resolve(backend)
+        s, tb = nw_fn(q, qlen, t, tlen, r)
+        outs[kind] = (np.asarray(s), decode_fn(tb, qlen, tlen, r))
+    s0, p0 = outs["xla"]
+    for kind in ("row", "diag"):
+        s, p = outs[kind]
+        np.testing.assert_array_equal(s0, s[: len(s0)])
+        for b, sc in enumerate(s0):
+            if sc < int(nw_band.INF):
+                assert p0[b] == p[b], (kind, b)
+
+
 def test_diag_fuzz_vs_oracle(rng):
     """Random shapes/radii; paths must cost exactly the reported distance
     and reconstruct valid global alignments (oracle contract)."""
