@@ -57,7 +57,8 @@ def _pad_batch(seqs: list[np.ndarray], L: int, B: int | None = None
 
 def hirschberg_align_batch(queries: list[str], targets: list[str],
                            cfg: AlignerConfig, mesh=None,
-                           sp_min_len: int | None = None):
+                           sp_min_len: int | None = None,
+                           backend: str = "auto"):
     """Returns (paths, dists, statuses) matching models.aligner's contract.
 
     mesh + sp_min_len: levels whose padded sides reach sp_min_len compute
@@ -89,7 +90,7 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
         base = [f for f in frags if f.qhi - f.qlo <= BASE_Q]
         split = [f for f in frags if f.qhi - f.qlo > BASE_Q]
         if base:
-            _solve_base(base, qcodes, tcodes, pieces)
+            _solve_base(base, qcodes, tcodes, pieces, backend)
         frags = (_split_level(split, qcodes, tcodes, mesh, sp_min_len)
                  if split else [])
 
@@ -105,11 +106,14 @@ def hirschberg_align_batch(queries: list[str], targets: list[str],
     return paths, dists, statuses
 
 
-def _solve_base(base: list[_Frag], qcodes, tcodes, pieces) -> None:
-    """Solve small fragments with the canonical banded-NW kernel, bucketed by
-    power-of-two band radius (r = max side covers any path)."""
+def _solve_base(base: list[_Frag], qcodes, tcodes, pieces,
+                backend: str = "auto") -> None:
+    """Solve small fragments with the configured banded-NW kernel (the
+    Aligner's backend string, threaded down so backend="xla"/"pallas-row"
+    users get the same leaf kernel everywhere), bucketed by power-of-two
+    band radius (r = max side covers any path)."""
     from ..ops.banded import resolve
-    _, nw_fn, decode_fn = resolve("auto")
+    _, nw_fn, decode_fn = resolve(backend)
     buckets: dict[int, list[_Frag]] = {}
     for f in base:
         side = max(f.qhi - f.qlo, f.thi - f.tlo, 1)

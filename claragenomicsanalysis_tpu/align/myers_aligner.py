@@ -57,10 +57,11 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
                       targets: list[str] | None = None):
     """Returns (paths, dists, statuses) for the packed batch."""
     from ..ops.banded import resolve, tb_bytes_per_problem
-    from ..ops.nw_band_pallas import pallas_available
-    use_pallas = (backend.startswith("pallas")
-                  or (backend == "auto" and pallas_available()))
-    kind, nw_fn, decode_fn = resolve(backend if use_pallas else "xla")
+    # resolve() is the single validator: unknown backend strings raise
+    # ValueError here exactly as in models/aligner._run_ukkonen (a typo
+    # like "palas" must not silently become the XLA path)
+    kind, nw_fn, decode_fn = resolve(backend)
+    use_pallas = kind != "xla"
 
     B = q.shape[0]
     _, scores = myers_bottom_row(q, qlen, t, tlen)
@@ -107,7 +108,8 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     if hirsch:
         from .hirschberg import hirschberg_align_batch
         h_paths, _, _ = hirschberg_align_batch(
-            [queries[b] for b in hirsch], [targets[b] for b in hirsch], cfg)
+            [queries[b] for b in hirsch], [targets[b] for b in hirsch], cfg,
+            backend=backend)
         for k, b in enumerate(hirsch):
             paths[b] = h_paths[k]
     return paths, scores, statuses

@@ -148,7 +148,7 @@ class Aligner:
                 from ..align.hirschberg import hirschberg_align_batch
                 paths, dists, statuses = hirschberg_align_batch(
                     self._queries, self._targets, cfg, mesh=self.mesh,
-                    sp_min_len=self.sp_min_len)
+                    sp_min_len=self.sp_min_len, backend=self.backend)
             elif self.algorithm == "myers":
                 from ..align.myers_aligner import myers_align_batch
                 paths, dists, statuses = myers_align_batch(

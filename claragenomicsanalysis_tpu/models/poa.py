@@ -197,19 +197,38 @@ class Batch:
         import functools
         from ..ops.nw_band_pallas import pallas_available
         from ..ops.poa_pallas import smem_bytes_per_window
-        if self.backend == "pallas2":
+        if (self.backend == "pallas2"
+                or (self.backend == "auto" and pallas_available())):
             # lockstep-over-windows POA v2 (ops/poa_pallas2.py) — windows
-            # on the lane axis for the graph-mutation phases
+            # on the lane axis for the graph-mutation phases.  This IS the
+            # "auto" choice on TPU: the round-3 on-chip queue measured v2
+            # at 1.05/1.30 Gcells/s (WPG=8/16) vs v1's 0.33 on the
+            # 128x8x100bp config, 1.053 vs 0.304 on MSA, 0.341 vs 0.238 on
+            # 16x250bp pileups (bench_logs_queue_r3.log).  WPG=16 is the
+            # measured winner; fall to 8 when its NW planes overflow VMEM
+            # (Mosaic needs the WPG sublane axis divisible by 8, so only
+            # 16 and 8 are candidates).
             from ..ops.poa_pallas2 import (VMEM_BUDGET, poa_batch_pallas2,
                                            vmem_bytes_estimate)
-            need = vmem_bytes_estimate(self.batch_size, msa)
-            if need <= VMEM_BUDGET:
-                return functools.partial(
-                    poa_batch_pallas2, bs=self.batch_size, sc=self.scores,
-                    banded=self.banded_alignment, msa=msa,
-                    interpret=not pallas_available())
+            for wpg in (16, 8):
+                if vmem_bytes_estimate(self.batch_size, msa,
+                                       WPG=wpg) <= VMEM_BUDGET:
+                    p2 = functools.partial(
+                        poa_batch_pallas2, bs=self.batch_size,
+                        sc=self.scores, banded=self.banded_alignment,
+                        msa=msa, interpret=not pallas_available())
+
+                    def program(seqs, weights, lens, n_seqs,
+                                _p2=p2, _wpg=wpg):
+                        # window-count-aware sub-batch width: a padded
+                        # batch of 8 windows must not pay WPG=16's 2x
+                        # padding (shard_map slices can also hand us 8)
+                        w = seqs.shape[0]
+                        return _p2(seqs, weights, lens, n_seqs,
+                                   WPG=_wpg if w % _wpg == 0 else 8)
+                    return program
             # plane layout cannot fit VMEM (deep-pileup configs with
-            # P = S); fall through to the auto choice rather than fail
+            # P = S); fall through to the v1/XLA choice rather than fail
             # the Mosaic compile mid-run — outputs are identical anyway.
             # Warn once per BatchSize: correction runs construct a Batch
             # per dispatch chunk and must not spam the log.
@@ -219,8 +238,8 @@ class Batch:
                 from ..utils.logging import get_logger
                 get_logger().warning(
                     "pallas2 backend needs ~%d MiB VMEM for this "
-                    "BatchSize; falling back to the auto backend",
-                    need >> 20)
+                    "BatchSize; falling back to the v1/XLA backend",
+                    vmem_bytes_estimate(self.batch_size, msa, WPG=8) >> 20)
         fits = (smem_bytes_per_window(self.batch_size, msa) <= 900 * 2**10
                 and self.batch_size.max_sequences_per_poa < 128)
         if (self.backend == "pallas"

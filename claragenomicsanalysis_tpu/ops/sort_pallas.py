@@ -71,9 +71,17 @@ def _partner(x, j, T):
 
 def _cmp_exchange(k1, k2, p1, p2, keep_min):
     """Lexicographic compare-exchange: take the partner's row where doing
-    so moves the kept extremum here (ties keep own — valid for bitonic)."""
-    p_less = (p1 < k1) | ((p1 == k1) & (p2 < k2))
-    take = jnp.where(keep_min, p_less, ~p_less & ((p1 != k1) | (p2 != k2)))
+    so moves the kept extremum here (ties keep own — valid for bitonic).
+
+    The boolean algebra runs in int32 0/1 arithmetic: a boolean-valued
+    ``jnp.where`` lowers to a select_n on i1 vectors, which Mosaic
+    implements via an i8 mask + ``arith.trunci i8 -> i1`` — unsupported on
+    TPU (the round-3 on-chip crash, bench_logs_queue_r3.log).  Comparisons
+    and the final value-select on int32 operands lower fine."""
+    p_less = ((p1 < k1) | ((p1 == k1) & (p2 < k2))).astype(jnp.int32)
+    neq = ((p1 != k1) | (p2 != k2)).astype(jnp.int32)
+    km = jnp.asarray(keep_min).astype(jnp.int32)
+    take = (km * p_less + (1 - km) * (1 - p_less) * neq) != 0
     return jnp.where(take, p1, k1), jnp.where(take, p2, k2)
 
 
@@ -84,9 +92,11 @@ def _local_pass(k1, k2, s, j, T, tile_bits):
     (program_id << logV), so direction bits above the tile range work."""
     iota = _linear_iota(T)
     gidx = iota | tile_bits
-    asc = (gidx & (1 << s)) == 0 if s < 31 else jnp.ones_like(gidx, bool)
-    lowslot = (iota & (1 << j)) == 0
-    keep_min = lowslot == asc
+    # keep_min <=> (bit j of i == 0) == (direction bit s == 0); computed as
+    # an int-bit equality so no bool-vector==bool-vector op reaches Mosaic
+    asc_bit = (gidx >> s) & 1 if s < 31 else jnp.zeros_like(gidx)
+    low_bit = (iota >> j) & 1
+    keep_min = low_bit == asc_bit
     p1 = _partner(k1, j, T)
     p2 = _partner(k2, j, T)
     return _cmp_exchange(k1, k2, p1, p2, keep_min)

@@ -18,7 +18,6 @@ def bench_poa():
     import jax
     from claragenomicsanalysis_tpu.bench.harness import time_scanned
     from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
-    from claragenomicsanalysis_tpu.models.poa import _build_program
     from claragenomicsanalysis_tpu.utils.genomeutils import (
         encode, generate_random_genome, mutate_sequence)
 
@@ -26,13 +25,10 @@ def bench_poa():
                    max_pred_per_node=4, max_aligned_per_node=4,
                    max_nodes_per_window=256)
     sc = PoaScores()
-    from claragenomicsanalysis_tpu.ops.nw_band_pallas import pallas_available
-    if pallas_available():
-        from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
-        import functools
-        program = functools.partial(poa_batch_pallas, bs=bs, sc=sc)
-    else:
-        program = _build_program(bs, sc, False)
+    # measure the PRODUCT default: whatever Batch(backend="auto") routes
+    # to on this platform (pallas2 lockstep on TPU as of round 4)
+    from claragenomicsanalysis_tpu.models.poa import Batch
+    program = Batch(batch_size=bs, scores=sc)._window_program(False)
     W, S, L = 128, bs.max_sequences_per_poa, bs.padded_seq
     rng = np.random.default_rng(0)
     K = 4
@@ -71,7 +67,6 @@ def bench_poa_large():
     to its vector roofline than on the small-window config."""
     from claragenomicsanalysis_tpu.bench.harness import time_scanned
     from claragenomicsanalysis_tpu.core.config import BatchSize, PoaScores
-    from claragenomicsanalysis_tpu.models.poa import _build_program
     from claragenomicsanalysis_tpu.utils.genomeutils import (
         encode, generate_random_genome, mutate_sequence)
 
@@ -79,13 +74,8 @@ def bench_poa_large():
                    max_pred_per_node=16, max_aligned_per_node=8,
                    max_nodes_per_window=1024)
     sc = PoaScores()
-    from claragenomicsanalysis_tpu.ops.nw_band_pallas import pallas_available
-    if pallas_available():
-        import functools
-        from claragenomicsanalysis_tpu.ops.poa_pallas import poa_batch_pallas
-        program = functools.partial(poa_batch_pallas, bs=bs, sc=sc)
-    else:
-        program = _build_program(bs, sc, False)
+    from claragenomicsanalysis_tpu.models.poa import Batch
+    program = Batch(batch_size=bs, scores=sc)._window_program(False)
     W, S, L = 32, 16, bs.padded_seq
     rng = np.random.default_rng(0)
     datasets = []
@@ -235,10 +225,17 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     for fn in (bench_poa, bench_poa_large, bench_mapper, bench_mapper_20mbp,
                bench_pipeline, bench_correct):
-        try:
-            print(json.dumps(fn()))
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"metric": fn.__name__, "error": str(e)[:200]}))
+        # one retry after a pause: round 3 lost the pipeline number to a
+        # transient axon remote-compile HTTP 500 that never got a 2nd try
+        for attempt in (1, 2):
+            try:
+                print(json.dumps(fn()), flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": fn.__name__, "attempt": attempt,
+                                  "error": str(e)[:200]}), flush=True)
+                if attempt == 1:
+                    time.sleep(30)
 
 
 if __name__ == "__main__":

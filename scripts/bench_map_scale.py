@@ -22,6 +22,7 @@ from claragenomicsanalysis_tpu.models.mapper import map_all_vs_all
 from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
                                                   PoissonGenomeSimulator)
 from claragenomicsanalysis_tpu.utils.profiling import (reset_stage_timings,
+                                                       set_fenced_timings,
                                                        stage_timings)
 
 
@@ -36,6 +37,11 @@ def main():
                     help="timed runs after the compile run (report best)")
     ap.add_argument("--sort-backend", default="xla", choices=["xla", "pallas"],
                     help="anchor-sort kernel for the chain stage")
+    ap.add_argument("--fenced", action="store_true",
+                    help="sync the device at every stage boundary so the "
+                         "per-stage splits are truthful (adds ~30 ms tunnel "
+                         "latency per range; wall/Mbp_s are then NOT "
+                         "product-representative — profiling only)")
     args = ap.parse_args()
 
     total_bases = int(args.mbp * 1e6)
@@ -51,6 +57,7 @@ def main():
     parser = FastaParser("<mem>", records=[
         FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
     cfg = MapperConfig(sort_backend=args.sort_backend)
+    set_fenced_timings(args.fenced)
 
     best = None
     for run in range(args.runs + 1):
@@ -63,7 +70,7 @@ def main():
                        if k.startswith("mapper."))
         label = "compile" if run == 0 else f"run {run}"
         line = {
-            "label": label, "wall_s": round(wall, 2),
+            "label": label, "fenced": args.fenced, "wall_s": round(wall, 2),
             "mbp_per_s": round(total_bases / wall / 1e6, 2),
             "overlaps": len(res.overlaps),
             "overlaps_per_s": round(len(res.overlaps) / wall, 1),

@@ -17,8 +17,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-sys.path.insert(0, ".")
-
 
 def _try(name, axis):
     def kernel(x_ref, o_ref):
