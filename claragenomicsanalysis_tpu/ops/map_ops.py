@@ -323,15 +323,58 @@ def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
     return _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
                        min_overlap_len, min_bases_per_residue,
                        min_overlap_fraction_num, min_overlap_fraction_den,
-                       max_gap)
+                       max_gap, fill16=True)
+
+
+def _start_fill16(new_chain, val):
+    """Forward-fill (val at chain starts) to every row — the gather-free
+    replacement for ``val[start_idx]`` when val fits 16 unsigned bits (the
+    pack2 scale path).  Random gathers measured 69–151 Melem/s on chip vs
+    371–1152 for streaming sorts (bench_logs_queue_r3.log sort ablate), so
+    two C-sized value gathers dominated the chain stage at 64M anchors.
+
+    Two-level cummax, all streaming ops:
+    - within chunks of 2^14: pack (idx_local << 16 | val) at start rows,
+      -1 elsewhere; cummax propagates the LATEST start's value (idx_local
+      is the high-bits tiebreak; 14+16 bits stays positive int32);
+    - across chunks: the per-chunk last packed value (or -1 if a chain
+      spans the whole chunk) carries via an exclusive cummax on
+      (chunk_idx << 16 | last_val).
+
+    NOT jax.lax.associative_scan with a custom pair op — that wedges the
+    TPU compile path at multi-10M sizes (measured, docs/DESIGN.md §6)."""
+    C = val.shape[0]
+    CH = min(C, 1 << 14)
+    pad = (-C) % CH
+    v16 = jnp.where(new_chain, val & 0xFFFF, -1)
+    if pad:
+        v16 = jnp.concatenate([v16, jnp.full((pad,), -1, v16.dtype)])
+    nc = v16.shape[0] // CH
+    v2 = v16.reshape(nc, CH)
+    il = jax.lax.broadcasted_iota(jnp.int32, (nc, CH), 1)
+    pk = jnp.where(v2 >= 0, (il << 16) | v2, -1)
+    ff = jax.lax.cummax(pk, axis=1)
+    last = ff[:, -1]
+    ci = jnp.arange(nc, dtype=jnp.int32)
+    cpk = jnp.where(last >= 0, (ci << 16) | (last & 0xFFFF), -1)
+    excl = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                            jax.lax.cummax(cpk)[:-1]])
+    out = jnp.where(ff >= 0, ff & 0xFFFF, (excl & 0xFFFF)[:, None])
+    return out.reshape(-1)[:C]
 
 
 def _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
                 min_overlap_len, min_bases_per_residue,
-                min_overlap_fraction_num, min_overlap_fraction_den, max_gap):
+                min_overlap_fraction_num, min_overlap_fraction_den, max_gap,
+                fill16: bool = False):
     """Shared triggered-chain scan over (qid, tid, dir)-grouped, (qp, st)-
     sorted anchors.  `st` must preserve same-chain deltas (signed -tp for
-    the unpacked path, 16-bit complement for pack2 — identical deltas)."""
+    the unpacked path, 16-bit complement for pack2 — identical deltas).
+
+    fill16: qp/tp of VALID rows fit 16 unsigned bits (pack2 invariant) —
+    chain-start values come from the streaming forward-fill instead of
+    random gathers.  Invalid rows are forced to the gather path's I32MAX
+    so the two paths are bit-identical on the full arrays."""
     C = qid.shape[0]
     idx = jnp.arange(C, dtype=jnp.int32)
     prev = lambda x: jnp.concatenate([x[:1], x[:-1]])  # noqa: E731
@@ -343,15 +386,23 @@ def _chain_scan(same, qid, tid, d, qp, st, tp, v, k, min_residues,
     nxt_new = jnp.concatenate([new_chain[1:], jnp.array([True])])
     is_end = nxt_new & v
 
-    # chain-start values via gathers on the (monotonic) start indices.
-    # (A segmented forward-fill associative_scan was tried instead and
-    # REVERTED: jax's recursive associative_scan at the 64M scale hangs
-    # the TPU compile/run path for minutes.)
+    # chain-start values: streaming forward-fill when values fit 16 bits,
+    # else gathers on the (monotonic) start indices.  (A segmented
+    # forward-fill associative_scan was tried instead and REVERTED: jax's
+    # recursive associative_scan at the 64M scale hangs the TPU
+    # compile/run path for minutes.)
     s = jnp.clip(start_idx, 0, C - 1)
     n_res = idx - s + 1
-    q0 = qp[s]
+    if fill16:
+        # invalid rows: an invalid chain starts at an invalid row (UMAX
+        # keys sort together at the tail), so the gather path yields
+        # qp[s] = tp[s] = I32MAX there; pin the same value here
+        q0 = jnp.where(v, _start_fill16(new_chain, qp), I32MAX)
+        t_first = jnp.where(v, _start_fill16(new_chain, tp), I32MAX)
+    else:
+        q0 = qp[s]
+        t_first = tp[s]
     q1 = qp + k
-    t_first = tp[s]
     t0 = jnp.where(d == 0, t_first, tp)
     t1 = jnp.where(d == 0, tp, t_first) + k
     qspan = q1 - q0

@@ -227,6 +227,8 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
             act8 = sel_vec([a.astype(jnp.int32) for a in acts])
 
         T0 = min(P, 4)
+        ASM = N + 3                   # T0 assembly rows live in the 8-row
+                                      # padding above N+2 (round_up slack)
 
         def nw_body(r, carry):
             bases, sinks, npreds, us = [], [], [], []
@@ -234,6 +236,12 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
             # pass; slots past T0 are handled by the dynamic tail loops
             prs = [[None] * T0 for _ in range(WPG)]
             oks = [[None] * T0 for _ in range(WPG)]
+            # tail contributions accumulate in row N+2 (init NEG); the
+            # static T0 slots are ASSEMBLED into rows ASM..ASM+T0-1 so the
+            # pmax AND the moves algebra below run on full-width
+            # (WPG, L1) planes instead of per-window (1, L1) slices (the
+            # 1/8-sublane-utilization wall of the pileup profile)
+            smat2[pl.ds(N + 2, 1)] = jnp.full((1, WPG, L1), NEG, jnp.int32)
             for wi in range(WPG):
                 u = jnp.clip(order_s[wi, jnp.clip(r, 0, N - 1)], 0, N - 1)
                 npred_u = npred_s[wi, u]
@@ -248,18 +256,14 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                     prs[wi][p] = jnp.where(
                         virt, 0, rank_s[wi, jnp.clip(pi, 0, N - 1)] + 1)
                     oks[wi][p] = (p < npred_u) | virt
+                    smat2[pl.ds(ASM + p, 1), wi, :] = smat2[
+                        pl.ds(jnp.clip(prs[wi][p], 0, N), 1), wi, :]
 
                 # wide-P configs (P = S = 16 pileups) keep the common case
                 # cheap: the first T0 slots are static reads; the tail runs
                 # as a dynamic fori that trips only for nodes that actually
                 # accumulated many preds (Mosaic rejects scf.if with vector
                 # carries, but dynamic fori with a row carry lowers fine)
-                pmax = jnp.full((1, L1), NEG, jnp.int32)
-                for p in range(T0):
-                    prow = smat2[pl.ds(jnp.clip(prs[wi][p], 0, N), 1),
-                                 wi, :]
-                    pmax = jnp.where(oks[wi][p],
-                                     jnp.maximum(pmax, prow), pmax)
                 if P > T0:
                     def pmax_tail(p, pmax, wi=wi, u=u):
                         pi = pred_s[wi, p, u]
@@ -267,10 +271,20 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                         prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
                         return jnp.maximum(pmax, prow)
 
-                    pmax = jax.lax.fori_loop(T0, npred_u, pmax_tail, pmax)
-                smat2[pl.ds(N + 2, 1), wi, :] = pmax  # assembly row N+2
+                    tail = jax.lax.fori_loop(
+                        T0, npred_u, pmax_tail,
+                        jnp.full((1, L1), NEG, jnp.int32))
+                    smat2[pl.ds(N + 2, 1), wi, :] = tail
 
-            pmax8 = smat2[pl.ds(N + 2, 1)][0]        # (WPG, L1)
+            ok8 = [sel_vec([oks[wi][p].astype(jnp.int32)
+                            for wi in range(WPG)]) for p in range(T0)]
+            pr8 = [sel_vec([prs[wi][p] for wi in range(WPG)])
+                   for p in range(T0)]
+            pmax8 = smat2[pl.ds(N + 2, 1)][0]        # tail part (or NEG)
+            for p in range(T0):
+                asm = smat2[pl.ds(ASM + p, 1)][0]
+                pmax8 = jnp.where(ok8[p] != 0,
+                                  jnp.maximum(pmax8, asm), pmax8)
             base8 = sel_vec(bases)
             sub = jnp.where((seq8 == base8) & (seq8 >= 0), MATCH, MISM)
             sub = jnp.where(seq_ok, sub, MISM)
@@ -302,32 +316,37 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                 # accumulate in shifted (j-1) space — d_ok[j] tests
                 # prow[j-1] + sub[j] == row[j], i.e. prow[t] == rsub[t]
                 # with rsub = roll_left(row - sub) — so each pred slot
-                # costs zero rolls; one roll per window realigns at the
-                # end.
-                for wi in range(WPG):
-                    row_wi = row[wi][None]
-                    sub_wi = sub[wi][None]
-                    rsub = pltpu.roll(row_wi - sub_wi, shift=L1 - 1,
-                                      axis=1)  # roll left by one
+                # costs zero rolls; one roll realigns at the end.
+                # The static T0 slots reuse the assembled (WPG, L1) planes
+                # so the whole tie-break algebra is window-vectorized; the
+                # rare > T0 tail stays a per-window (1, L1) loop whose
+                # result is re-inserted by a sublane select.
+                rsub8 = pltpu.roll(row - sub, shift=L1 - 1,
+                                   axis=1)  # roll left by one
+                # any_dm is int32, not bool: Mosaic cannot rotate i1
+                # vectors, and it gets rolled back to j space below
+                any_dm8 = jnp.zeros((WPG, L1), jnp.int32)
+                any_v8 = jnp.zeros((WPG, L1), jnp.int32)
+                sel_dm8 = jnp.zeros((WPG, L1), jnp.int32)
+                sel_v8 = jnp.zeros((WPG, L1), jnp.int32)
+                for p in range(T0):
+                    prow8 = smat2[pl.ds(ASM + p, 1)][0]
+                    okp = ok8[p] != 0
+                    dm_ok = okp & (prow8 == rsub8)
+                    v_ok = okp & (prow8 + GAP == row)
+                    sel_dm8 = jnp.where(dm_ok & (any_dm8 == 0),
+                                        pr8[p] - 1, sel_dm8)
+                    sel_v8 = jnp.where(v_ok & (any_v8 == 0),
+                                       pr8[p] - 1, sel_v8)
+                    any_dm8 = jnp.where(dm_ok, 1, any_dm8)
+                    any_v8 = jnp.where(v_ok, 1, any_v8)
+                if P > T0:
+                    si8 = jax.lax.broadcasted_iota(
+                        jnp.int32, (WPG, L1), 0)
+                    for wi in range(WPG):
+                        rsub = rsub8[wi][None]
+                        row_wi = row[wi][None]
 
-                    # any_dm is int32, not bool: Mosaic cannot rotate i1
-                    # vectors, and it gets rolled back to j space below
-                    any_dm = jnp.zeros((1, L1), jnp.int32)
-                    any_v = jnp.zeros((1, L1), jnp.int32)
-                    sel_dm = jnp.zeros((1, L1), jnp.int32)
-                    sel_v = jnp.zeros((1, L1), jnp.int32)
-                    for p in range(T0):
-                        pr, slot_ok = prs[wi][p], oks[wi][p]
-                        prow = smat2[pl.ds(jnp.clip(pr, 0, N), 1), wi, :]
-                        dm_ok = slot_ok & (prow == rsub)
-                        v_ok = slot_ok & (prow + GAP == row_wi)
-                        sel_dm = jnp.where(dm_ok & (any_dm == 0),
-                                           pr - 1, sel_dm)
-                        sel_v = jnp.where(v_ok & (any_v == 0),
-                                          pr - 1, sel_v)
-                        any_dm = jnp.where(dm_ok, 1, any_dm)
-                        any_v = jnp.where(v_ok, 1, any_v)
-                    if P > T0:
                         def move_tail(p, mc, wi=wi, rsub=rsub,
                                       row_wi=row_wi):
                             any_dm, any_v, sel_dm, sel_v = mc
@@ -345,17 +364,23 @@ def _build_nwtb_kernel(bs: BatchSize, sc: PoaScores, banded: bool,
                             any_v = jnp.where(v_ok, 1, any_v)
                             return any_dm, any_v, sel_dm, sel_v
 
-                        any_dm, any_v, sel_dm, sel_v = jax.lax.fori_loop(
+                        a_dm, a_v, s_dm, s_v = jax.lax.fori_loop(
                             T0, npreds[wi], move_tail,
-                            (any_dm, any_v, sel_dm, sel_v))
-                    any_d = ((jj >= 1)
-                             & (pltpu.roll(any_dm, shift=1, axis=1) != 0))
-                    sel_d = pltpu.roll(sel_dm, shift=1, axis=1)
-                    move = jnp.where(any_d, 0, jnp.where(any_v != 0, 1, 3))
-                    sel = jnp.where(any_d, sel_d,
-                                    jnp.where(any_v != 0, sel_v, 0))
-                    moves2[pl.ds(r + 1, 1), wi, :] = (
-                        move | ((sel + 1) << 2))
+                            (any_dm8[wi][None], any_v8[wi][None],
+                             sel_dm8[wi][None], sel_v8[wi][None]))
+                        here = si8 == wi
+                        any_dm8 = jnp.where(here, a_dm, any_dm8)
+                        any_v8 = jnp.where(here, a_v, any_v8)
+                        sel_dm8 = jnp.where(here, s_dm, sel_dm8)
+                        sel_v8 = jnp.where(here, s_v, sel_v8)
+                any_d8 = ((jj >= 1)
+                          & (pltpu.roll(any_dm8, shift=1, axis=1) != 0))
+                sel_d8 = pltpu.roll(sel_dm8, shift=1, axis=1)
+                move8 = jnp.where(any_d8, 0,
+                                  jnp.where(any_v8 != 0, 1, 3))
+                sel8 = jnp.where(any_d8, sel_d8,
+                                 jnp.where(any_v8 != 0, sel_v8, 0))
+                moves2[pl.ds(r + 1, 1)] = (move8 | ((sel8 + 1) << 2))[None]
 
             if not sweep:
                 return carry
@@ -978,8 +1003,8 @@ def _build_topsort_kernel(bs: BatchSize):
     P = bs.max_pred_per_node
     NL = round_up(N + 1, 8)
 
-    def kernel(prev_lvl, npredT, predT, meta, lvlT, orderT, rankT, meta_out,
-               lvlE, cntT, offT):
+    def kernel(visitT, prev_lvl, npredT, predT, meta, lvlT, orderT, rankT,
+               meta_out, lvlE, cntT, offT):
         W = npredT.shape[-1]
         iN = _siota(N, W)
         iNL = _siota(NL, W)
@@ -991,11 +1016,22 @@ def _build_topsort_kernel(bs: BatchSize):
         def sweep(c):
             _, it = c
 
-            def vstep(v, ch):
-                cand = lvlT[pl.ds(v, 1)] + 1
+            def vstep(i, ch):
+                # visitT supplies a PER-WINDOW processing order (a guess
+                # at the new topological order, see topsort_guess): when
+                # the guess is valid the Gauss-Seidel relaxation converges
+                # in ONE sweep instead of one sweep per id-order inversion
+                # on the longest path (~#branch insertions — the 56 ms
+                # pileup wall).  v becomes a (1, W) row, so the pushed
+                # level is a one-hot masked max instead of a row read; the
+                # fixpoint (and hence all outputs) is order-independent.
+                v_row = visitT[pl.ds(i, 1)]
+                m_v = iN == v_row
+                cand = jnp.max(jnp.where(m_v, lvlT[...], -1),
+                               axis=0, keepdims=True) + 1
                 upd = jnp.zeros((N, W), jnp.bool_)
                 for p in range(P):
-                    upd = upd | ((predT[p] == v) & slot_ok[p])
+                    upd = upd | ((predT[p] == v_row) & slot_ok[p])
                 need = upd & act & (lvlT[...] < cand)
                 lvlT[...] = jnp.where(need, jnp.broadcast_to(cand, (N, W)),
                                       lvlT[...])
@@ -1004,7 +1040,7 @@ def _build_topsort_kernel(bs: BatchSize):
             ch = jax.lax.fori_loop(0, N, vstep, jnp.bool_(False))
             return ch, it + 1
 
-        changed, _ = jax.lax.while_loop(
+        changed, iters = jax.lax.while_loop(
             lambda c: c[0] & (c[1] < N + 2), sweep,
             (jnp.bool_(True), jnp.int32(0)))
         ok = ~changed
@@ -1039,22 +1075,61 @@ def _build_topsort_kernel(bs: BatchSize):
         jax.lax.fori_loop(0, N, place_step, ())
 
         mo = jnp.zeros((8, W), jnp.int32)
-        mo = jnp.where(jax.lax.broadcasted_iota(jnp.int32, (8, W), 0) == 0,
-                       jnp.where(ok, 1, 0), mo)
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+        mo = jnp.where(r8 == 0, jnp.where(ok, 1, 0), mo)
+        # row 1: relaxation sweeps used (diagnostic for the visit-order
+        # guess; 2 = converged in one productive sweep)
+        mo = jnp.where(r8 == 1, iters, mo)
         meta_out[...] = mo
 
     return kernel, dict(N=N, P=P, NL=NL)
 
 
-def _topsort_pallas(bs: BatchSize, interpret: bool, state, level):
+def topsort_guess(nc_pre, nc_post, pred0, level, N: int):
+    """Visit-order hint for the next _topsort_pallas call after an
+    add-alignment step: old nodes in their old topological (level, id)
+    order; each NEW node keyed just after its anchor (first old ancestor
+    through first-pred links) with its chain position as tiebreak.  The
+    key layout makes the order provably topological for the new graph
+    (an alignment path visits old nodes in increasing rank, so a new
+    node's old successor always has a strictly larger anchor key), which
+    lets the kernel's relaxation converge in one sweep.  Pure hint: an
+    imperfect guess (chains > 4 after the two doubling steps) only costs
+    extra sweeps, never correctness."""
+    ids = jnp.arange(N, dtype=jnp.int32)[None, :]
+    is_new = (ids >= nc_pre[:, None]) & (ids < nc_post[:, None])
+    anc = jnp.where(is_new, jnp.clip(pred0, 0, N - 1), ids)
+    pos = jnp.where(is_new, 1, 0)
+    for _ in range(2):               # resolves new-node chains <= 4
+        a = jnp.clip(anc, 0, N - 1)
+        pos = pos + jnp.take_along_axis(pos, a, axis=1)
+        anc = jnp.take_along_axis(anc, a, axis=1)
+    a = jnp.clip(anc, 0, N - 1)
+    lvl_a = jnp.take_along_axis(jnp.maximum(level.astype(jnp.int32), 0),
+                                a, axis=1)
+    # (lvl, id) is the old counting-sort rank order; x8 leaves room for
+    # chain positions (<= 4 resolved; longer chains clamp — still a hint)
+    key = (lvl_a * N + a) * 8 + jnp.minimum(pos, 7)
+    return jnp.argsort(key, axis=1).astype(jnp.int32)
+
+
+def _topsort_pallas(bs: BatchSize, interpret: bool, state, level,
+                    visit=None, with_iters: bool = False):
     """Lockstep topsort over all windows.  state fields are (W, N)-major;
     returns (level (W, N), order (W, N), rank (W, N), ok (W,)) matching
-    poa_ops.topsort(state, level, N + 2) bit-for-bit on DAGs."""
+    poa_ops.topsort(state, level, N + 2) bit-for-bit on DAGs.
+
+    visit: optional (W, N) per-window processing order (topsort_guess);
+    outputs are identical for ANY permutation — it only changes how many
+    relaxation sweeps the kernel needs."""
     W = level.shape[0]
     kernel, d = _build_topsort_kernel(bs)
     N, P, NL = d["N"], d["P"], d["NL"]
     LANES = 128
     Wp = round_up(W, LANES)
+    if visit is None:
+        visit = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                                 (W, N))
 
     def t2(x, rows, fill=0):
         x = jnp.transpose(x.astype(jnp.int32))
@@ -1075,7 +1150,7 @@ def _topsort_pallas(bs: BatchSize, interpret: bool, state, level):
     lvlT, orderT, rankT, meta_out = pl.pallas_call(
         kernel,
         grid=(Wp // LANES,),
-        in_specs=[spec(N), spec(N), spec(P, N), spec(8)],
+        in_specs=[spec(N), spec(N), spec(N), spec(P, N), spec(8)],
         out_specs=(spec(N), spec(N), spec(N), spec(8)),
         out_shape=(jax.ShapeDtypeStruct((N, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((N, Wp), jnp.int32),
@@ -1085,13 +1160,16 @@ def _topsort_pallas(bs: BatchSize, interpret: bool, state, level):
                         pltpu.VMEM((NL, LANES), jnp.int32),
                         pltpu.VMEM((NL, LANES), jnp.int32)],
         interpret=interpret,
-    )(t2(level, N), t2(state.npred, N), predT, meta)
+    )(t2(visit, N), t2(level, N), t2(state.npred, N), predT, meta)
 
     NP = state.pred.shape[1]
 
     def ut(x):
         return jnp.transpose(x)[:W, :NP]
 
+    if with_iters:
+        return (ut(lvlT), ut(orderT), ut(rankT), meta_out[0, :W] != 0,
+                meta_out[1, :W])
     return ut(lvlT), ut(orderT), ut(rankT), meta_out[0, :W] != 0
 
 
@@ -1115,7 +1193,7 @@ def _build_consensus_kernel(bs: BatchSize):
     MCS = round_up(MC, 8)
     BIG = 2**30
 
-    def kernel(npredT, predT, predwT, baseT, covT, rankT, meta,
+    def kernel(orderT, npredT, predT, predwT, baseT, covT, rankT, meta,
                codesT, covsT, meta_out, scoreT, psT, bpT, bufT):
         W = npredT.shape[-1]
         iN = _siota(N, W)
@@ -1135,12 +1213,21 @@ def _build_consensus_kernel(bs: BatchSize):
         def sweep(c):
             _, it = c
 
-            def vstep(v, ch):
-                sv = scoreT[pl.ds(v, 1)]
+            def vstep(i, ch):
+                # consensus runs AFTER the final topsort, so orderT is an
+                # EXACT per-window topological order: the monotone score
+                # relaxation converges in one productive sweep (vs one
+                # sweep per id-order inversion — the 16 ms pileup cost).
+                # sv via one-hot masked max == the old scoreT[v] row read
+                # (scoreT >= NEG always, see topsort kernel note).
+                v_row = orderT[pl.ds(i, 1)]
+                m_v = iN == v_row
+                sv = jnp.max(jnp.where(m_v, scoreT[...], NEG),
+                             axis=0, keepdims=True)
                 cand = wmax + sv
                 upd = jnp.zeros((N, W), jnp.bool_)
                 for p in range(P):
-                    upd = upd | (tie1[p] & (predT[p] == v))
+                    upd = upd | (tie1[p] & (predT[p] == v_row))
                 need = upd & has & (scoreT[...] < cand)
                 scoreT[...] = jnp.where(need, cand, scoreT[...])
                 return ch | jnp.any(need)
@@ -1237,14 +1324,21 @@ def _build_consensus_kernel(bs: BatchSize):
     return kernel, dict(N=N, P=P, MC=MC, MCS=MCS)
 
 
-def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
+def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank,
+                      order=None):
     """Lockstep consensus over all windows.  Returns (codes (W, MC),
-    covs (W, MC), length (W,)) matching poa_ops.consensus bit-for-bit."""
+    covs (W, MC), length (W,)) matching poa_ops.consensus bit-for-bit.
+
+    order: the (W, N) topological order matching `rank` (the final
+    topsort's output).  Derived from rank when omitted — outputs are
+    identical either way; the order only sets the score sweep count."""
     W = rank.shape[0]
     kernel, d = _build_consensus_kernel(bs)
     N, P, MC, MCS = d["N"], d["P"], d["MC"], d["MCS"]
     LANES = 128
     Wp = round_up(W, LANES)
+    if order is None:
+        order = jnp.argsort(rank.astype(jnp.int32), axis=1)
 
     def t2(x, rows, fill=0):
         x = jnp.transpose(x.astype(jnp.int32))
@@ -1267,8 +1361,8 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
     codesT, covsT, meta_out = pl.pallas_call(
         kernel,
         grid=(Wp // LANES,),
-        in_specs=[spec(N), spec(P, N), spec(P, N), spec(N), spec(N),
-                  spec(N), spec(8)],
+        in_specs=[spec(N), spec(N), spec(P, N), spec(P, N), spec(N),
+                  spec(N), spec(N), spec(8)],
         out_specs=(spec(MCS), spec(MCS), spec(8)),
         out_shape=(jax.ShapeDtypeStruct((MCS, Wp), jnp.int32),
                    jax.ShapeDtypeStruct((MCS, Wp), jnp.int32),
@@ -1278,7 +1372,7 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
                         pltpu.VMEM((N, LANES), jnp.int32),
                         pltpu.VMEM((MCS, LANES), jnp.int32)],
         interpret=interpret,
-    )(t2(state.npred, N), t3(state.pred, -1), t3(state.predw),
+    )(t2(order, N), t2(state.npred, N), t3(state.pred, -1), t3(state.predw),
       t2(state.base, N, -1), t2(state.cov, N), t2(rank, N), meta)
 
     def ut(x, n):
@@ -1500,17 +1594,24 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
     level0 = jnp.where(jnp.arange(N)[None, :] < lens[:, :1],
                        jnp.arange(N, dtype=jnp.int32)[None, :], 0)
 
-    def run_topsort(state, level):
+    # visit-order guessing pays on deep-pileup shapes where id-order
+    # inversions pile up (the 56 ms/step topsort wall at P=S=16); on the
+    # small consensus config the identity sweep already converges fast and
+    # the guess's XLA argsort/gathers would be pure overhead
+    use_guess = ("topsort" in phases
+                 and (N >= 384 or bs.max_pred_per_node > 4))
+
+    def run_topsort(state, level, visit=None):
         if "topsort" in phases:
-            return _topsort_pallas(bs, interpret, state, level)
+            return _topsort_pallas(bs, interpret, state, level, visit)
         return jax.vmap(
             lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
 
     def add_seq(carry, x):
-        state, level = carry
+        state, level, visit = carry
         seq, w, slen, s_idx = x
         alive = (s_idx < n_seqs) & (state.status == StatusType.SUCCESS)
-        new_level, order, rank, ok = run_topsort(state, level)
+        new_level, order, rank, ok = run_topsort(state, level, visit)
 
         if "nwtb" in phases:
             pn, pp, k0, band_ok = _nwtb_pallas(
@@ -1564,14 +1665,29 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
         status = jnp.where(alive, status, state.status)
         new_state = new_state._replace(status=status)
         level = jnp.where(alive[:, None], new_level, level)
-        return (new_state, level), ()
+        if use_guess:
+            visit = topsort_guess(state.node_count, new_state.node_count,
+                                  new_state.pred[:, :, 0].astype(jnp.int32),
+                                  level, N)
+        return (new_state, level, visit), ()
 
     xs = (jnp.swapaxes(seqs[:, 1:], 0, 1), jnp.swapaxes(weights[:, 1:], 0, 1),
           jnp.swapaxes(lens[:, 1:], 0, 1), jnp.arange(1, S, dtype=jnp.int32))
-    (state, level), _ = jax.lax.scan(add_seq, (state, level0), xs)
+    W0 = seqs.shape[0]
+    visit0 = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :],
+                              (W0, N))
+    (state, level, visit), _ = jax.lax.scan(
+        add_seq, (state, level0, visit0), xs)
 
-    _, order, rank, _ = run_topsort(state, level)
+    _, order, rank, _ = run_topsort(state, level, visit)
     if "consensus" in phases:
+        # visit order derived from rank, NOT the topsort's order output:
+        # on overflow windows the non-converged level array can overflow
+        # the counting-sort buckets, leaving order a NON-permutation
+        # (skipped nodes would freeze the score sweep on a wrong
+        # fixpoint).  rank is always a permutation, and argsort(rank) is
+        # the exact topological order on healthy windows — same one-sweep
+        # convergence.
         codes, covs, length = _consensus_pallas(bs, interpret, state, rank)
     else:
         codes, covs, length = jax.vmap(

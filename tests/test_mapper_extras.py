@@ -345,3 +345,26 @@ def test_similarity_batch_trailing_n_and_empty_pairs():
     got = _similarity_batch([("AACN", "AAAT"), ("", "")], 4)
     assert list(got) == [sequence_similarity("AACN", "AAAT", 4), 0.0]
     assert got[0] == 0.0  # the N k-mer must not collide with "AAAT"
+
+
+def test_start_fill16_equals_gather():
+    """_start_fill16 (two-level cummax forward-fill) must equal the gather
+    formulation val[cummax-start-idx] on masks that cross chunk boundaries,
+    including chains longer than one 2^14 chunk and chunks with no start."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from claragenomicsanalysis_tpu.ops.map_ops import _start_fill16
+
+    rng = np.random.default_rng(7)
+    CH = 1 << 14
+    for C, p_start in ((512, 0.3), (CH, 0.01), (3 * CH, 0.2),
+                       (4 * CH, 0.0), (2 * CH + 100, 0.00005)):
+        new_chain = rng.random(C) < p_start
+        new_chain[0] = True                      # invariant of _chain_scan
+        val = rng.integers(0, 1 << 16, C, dtype=np.int32)
+        got = np.asarray(_start_fill16(jnp.asarray(new_chain),
+                                       jnp.asarray(val)))
+        idx = np.arange(C)
+        s = np.maximum.accumulate(np.where(new_chain, idx, 0))
+        np.testing.assert_array_equal(got, val[s], err_msg=f"C={C}")
