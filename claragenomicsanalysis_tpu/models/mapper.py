@@ -198,8 +198,17 @@ class Index:
             reads[i, : len(s)] = encode(s)
             lens[i] = len(s)
         with trace_range("mapper.sketch"):
-            rep, dirs, is_min = sketch.sketch_batch(
-                jnp.asarray(reads), jnp.asarray(lens), k, w,
+            # 2-bit packed transfer: 4x less through the ~20 MB/s tunnel
+            # than the byte-per-base matrix; N positions ride as a sparse
+            # pow2-padded list (OOB rows drop inside the kernel)
+            packed, n_rows, n_cols = sketch.pack_reads(reads, lens)
+            npad = max(8, 1 << (max(len(n_rows), 1) - 1).bit_length())
+            n_rows = np.pad(n_rows, (0, npad - len(n_rows)),
+                            constant_values=B)
+            n_cols = np.pad(n_cols, (0, npad - len(n_cols)))
+            rep, dirs, is_min = sketch.sketch_batch_packed(
+                jnp.asarray(packed), jnp.asarray(n_rows),
+                jnp.asarray(n_cols), jnp.asarray(lens), k, w,
                 cfg.hash_representations)
         frac = Fraction(cfg.filtering_parameter).limit_denominator(10**6)
         # packed side array fits when local read ids take < 2^15 and
@@ -364,7 +373,8 @@ class Matcher:
         with trace_range("mapper.match"):
             qj = {k: jnp.asarray(v) for k, v in query_index._arrays.items()}
             tj = {k: jnp.asarray(v) for k, v in target_index._arrays.items()}
-            lo, cum, total_d = map_ops.match_count(qj, tj)
+            with trace_range("mapper.match.count"):
+                lo, cum, total_d = map_ops.match_count(qj, tj)
             if cap_hint is not None:
                 cap_eff = min(cap, max(1024, cap_hint))
                 total: int | jnp.ndarray = total_d     # deferred sync
@@ -381,9 +391,10 @@ class Matcher:
                     query_index._arrays, target_index._arrays, cfg, mesh,
                     cap=cap_eff)
             else:
-                anchors = map_ops.match_expand(
-                    qj, tj, lo, cum, cap=cap_eff,
-                    skip_self=cfg.skip_self_mappings)
+                with trace_range("mapper.match.expand"):
+                    anchors = map_ops.match_expand(
+                        qj, tj, lo, cum, cap=cap_eff,
+                        skip_self=cfg.skip_self_mappings)
         # anchors stay device-resident; chaining consumes them in place
         return cls(anchors, total, cap_eff, cap)
 

@@ -32,11 +32,53 @@ def murmur32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def pack_reads(reads: np.ndarray, lens: np.ndarray):
+    """Host-side 2-bit packing of an encoded (B, L) int8 read matrix for
+    the device transfer (the remote-TPU tunnel moves ~20 MB/s: the padded
+    byte-per-base matrix dominated the mapper's sketch stage at 100 Mbp).
+    Returns (packed (B, L//4) uint8, n_rows, n_cols): the index lists mark
+    ambiguous (N, code -1) bases INSIDE each read's span — tail padding
+    needs no sentinel because _sketch_core's `pos < n` mask already
+    invalidates every k-mer touching it (bases are clipped to [0, 3] in
+    the packed words exactly like the unpacked path's maximum(c, 0)).
+    L must be a multiple of 4."""
+    B, L = reads.shape
+    assert L % 4 == 0, L
+    r = np.clip(reads, 0, 3).astype(np.uint8).reshape(B, L // 4, 4)
+    packed = (r[:, :, 0] | (r[:, :, 1] << 2) | (r[:, :, 2] << 4)
+              | (r[:, :, 3] << 6))
+    nn = np.argwhere((reads < 0)
+                     & (np.arange(L)[None, :] < np.asarray(lens)[:, None]))
+    return packed, nn[:, 0].astype(np.int32), nn[:, 1].astype(np.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "w", "hash_reps"))
+def sketch_batch_packed(packed: jnp.ndarray, n_rows, n_cols,
+                        lens: jnp.ndarray, k: int, w: int,
+                        hash_reps: bool = True):
+    """sketch_batch on a 2-bit-packed read matrix (see pack_reads) —
+    bit-identical outputs; the unpack fuses into the packing loop's first
+    pass.  n_rows/n_cols restore the -1 sentinel at N/pad positions that
+    pack_reads clipped (out-of-range rows in the padded index lists drop)."""
+    B, L4 = packed.shape
+    L = L4 * 4
+    up = jnp.repeat(packed.astype(jnp.uint32), 4, axis=1)
+    sh = (jnp.arange(L, dtype=jnp.int32) % 4) * 2
+    codes = ((up >> sh[None, :].astype(jnp.uint32)) & 3).astype(jnp.int8)
+    codes = codes.at[n_rows, n_cols].set(-1, mode="drop")
+    return _sketch_core(codes, lens, k, w, hash_reps)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "w", "hash_reps"))
 def sketch_batch(reads: jnp.ndarray, lens: jnp.ndarray, k: int, w: int,
                  hash_reps: bool = True):
     """Returns (rep (B, Lk) uint32 with INVALID at non-kmers, dirs (B, Lk)
     int32, is_min (B, Lk) bool).  Lk = L - k + 1."""
+    return _sketch_core(reads, lens, k, w, hash_reps)
+
+
+def _sketch_core(reads: jnp.ndarray, lens: jnp.ndarray, k: int, w: int,
+                 hash_reps: bool = True):
     B, L = reads.shape
     Lk = L - k + 1
     assert Lk >= 1, "reads shorter than k"

@@ -232,8 +232,13 @@ def main():
                 print(json.dumps(fn()), flush=True)
                 break
             except Exception as e:  # noqa: BLE001
+                # head AND tail: axon wraps Mosaic compile errors in an
+                # HTTP-500 banner and the real error sits at the END
+                msg = str(e)
+                if len(msg) > 900:
+                    msg = msg[:450] + " ... " + msg[-450:]
                 print(json.dumps({"metric": fn.__name__, "attempt": attempt,
-                                  "error": str(e)[:200]}), flush=True)
+                                  "error": msg}), flush=True)
                 if attempt == 1:
                     time.sleep(30)
 

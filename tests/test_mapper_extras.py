@@ -368,3 +368,36 @@ def test_start_fill16_equals_gather():
         idx = np.arange(C)
         s = np.maximum.accumulate(np.where(new_chain, idx, 0))
         np.testing.assert_array_equal(got, val[s], err_msg=f"C={C}")
+
+
+def test_sketch_packed_bit_equal():
+    """The 2-bit packed transfer path (pack_reads + sketch_batch_packed)
+    must reproduce sketch_batch exactly, including N bases inside reads
+    and -1 tail padding."""
+    import jax.numpy as jnp
+    import numpy as np
+    from claragenomicsanalysis_tpu.ops import sketch
+
+    rng = np.random.default_rng(11)
+    B, L = 8, 256
+    reads = np.full((B, L), -1, np.int8)
+    lens = np.zeros(B, np.int32)
+    for i in range(B):
+        n = int(rng.integers(20, L))
+        row = rng.integers(0, 4, n).astype(np.int8)
+        row[rng.random(n) < 0.05] = -1        # N bases inside the span
+        reads[i, :n] = row
+        lens[i] = n
+    for k, w, h in ((15, 5, True), (7, 4, False), (17, 6, True)):
+        want = sketch.sketch_batch(jnp.asarray(reads), jnp.asarray(lens),
+                                   k, w, h)
+        packed, nr, nc = sketch.pack_reads(reads, lens)
+        npad = max(8, 1 << (max(len(nr), 1) - 1).bit_length())
+        nr = np.pad(nr, (0, npad - len(nr)), constant_values=B)
+        nc = np.pad(nc, (0, npad - len(nc)))
+        got = sketch.sketch_batch_packed(
+            jnp.asarray(packed), jnp.asarray(nr), jnp.asarray(nc),
+            jnp.asarray(lens), k, w, h)
+        for g, wnt, nm in zip(got, want, ("rep", "dirs", "is_min")):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(wnt),
+                                          err_msg=f"k={k} w={w} {nm}")
