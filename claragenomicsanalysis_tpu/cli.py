@@ -28,9 +28,6 @@ def _add_mapper_flags(p):
     p.add_argument("--min-bases-per-residue", type=int, default=100)
     p.add_argument("--max-anchor-gap", type=int, default=5000)
     p.add_argument("--no-hashing", action="store_true")
-    p.add_argument("--sort-backend", default="xla", choices=["xla", "pallas"],
-                   help="anchor-sort kernel for the chain stage "
-                        "(bit-identical; perf knob)")
 
 
 def _cli_mesh(args):
@@ -58,8 +55,7 @@ def _mapper_cfg(args) -> MapperConfig:
         min_overlap_fraction=args.min_overlap_fraction,
         min_bases_per_residue=args.min_bases_per_residue,
         max_anchor_gap=args.max_anchor_gap,
-        index_size_mb=args.index_size,
-        sort_backend=args.sort_backend)
+        index_size_mb=args.index_size)
 
 
 def cmd_align(args) -> int:

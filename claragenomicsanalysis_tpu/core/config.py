@@ -99,9 +99,6 @@ class MapperConfig:
     max_anchor_gap: int = 5000         # chain trigger: max (qpos,tpos) step
     index_size_mb: int = 30            # -i/-t batching budget (MB of bases)
     skip_self_mappings: bool = True
-    #: anchor-sort kernel for the pack2 chain stage: "xla" (lax.sort) or
-    #: "pallas" (ops/sort_pallas.py bitonic — perf knob, bit-identical)
-    sort_backend: str = "xla"
 
     def __post_init__(self):
         # hashed mode packs 2k bits into two uint32 words then mixes to a

@@ -218,8 +218,8 @@ class Index:
             arrays = map_ops.build_index(
                 rep, dirs, is_min, jnp.int32(first_read),
                 filter_thr_num=frac.numerator,
-                filter_thr_den=frac.denominator, with_packed=with_packed,
-                sort_backend=(cfg.sort_backend if with_packed else "xla"))
+                filter_thr_den=frac.denominator,
+                with_packed=with_packed)
         # COMPACT the element arrays: build_index sorts INVALID reps to the
         # back, so slicing to the pow2 bucket of the true element count
         # drops the ~(1 - 2/(w+1)) non-minimizer slots.  Downstream match
@@ -445,8 +445,7 @@ class Overlapper:
                 min_bases_per_residue=cfg.min_bases_per_residue,
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
-                max_gap=cfg.max_anchor_gap, pack2=pack2,
-                sort_backend=cfg.sort_backend)
+                max_gap=cfg.max_anchor_gap, pack2=pack2)
         return Overlapper.compact_rows(out)
 
     @staticmethod

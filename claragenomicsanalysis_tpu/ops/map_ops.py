@@ -30,32 +30,27 @@ from .sketch import INVALID
 I32MAX = jnp.int32(2**31 - 1)
 
 
-def _sort_pairs(k1, k2, backend: str):
+def _sort_pairs(k1, k2):
     """Unstable ascending sort of distinct uint32 (k1, k2) pairs — the
     shared shape of the packed index sorts and the pack2 chain sort.
-    backend="pallas" runs the VMEM-blocked bitonic kernel
-    (ops/sort_pallas.py; bit-identical: the sorted array of a multiset is
-    unique, and pow2 padding rows sort to the tail and are sliced off)."""
-    if backend == "pallas":
-        from .sort_pallas import bitonic_sort_pairs
-        C = k1.shape[0]
-        Cp = max(1024, 1 << (max(C, 2) - 1).bit_length())
-        if Cp != C:
-            pad = jnp.full(Cp - C, 0xFFFFFFFF, jnp.uint32)
-            k1 = jnp.concatenate([k1, pad])
-            k2 = jnp.concatenate([k2, pad])
-        interp = jax.default_backend() != "tpu"
-        s1, s2 = bitonic_sort_pairs(k1, k2, interpret=interp)
-        return s1[:C], s2[:C]
+
+    A VMEM-blocked Pallas bitonic alternative was built, fixed for Mosaic
+    (i1-select lowering), proven bit-identical on chip — and RETIRED: the
+    round-4 on-chip A/B measured it at 0.55-0.57x XLA's fused 2-operand
+    sort at every size (2^22: 7.4 vs 4.3 ms; 2^24: 47.2 vs 34.5;
+    2^26: 273.6 vs 181.8), and its largest-tile variant stack-OOM'd
+    scoped VMEM.  XLA's TPU sort is already the VMEM-blocked bitonic this
+    kernel tried to be.  History: ops/sort_pallas.py before commit
+    'Retire the Pallas bitonic sort backend'."""
     return jax.lax.sort((k1, k2), num_keys=2, is_stable=False)
 
 
 @functools.partial(jax.jit, static_argnames=("filter_thr_num",
                                              "filter_thr_den",
-                                             "with_packed", "sort_backend"))
+                                             "with_packed"))
 def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
                 filter_thr_num: int = 1, filter_thr_den: int = 1,
-                with_packed: bool = False, sort_backend: str = "xla"):
+                with_packed: bool = False):
     """Flatten + sort sketch elements.  Returns dict of (C,) arrays sorted by
     (rep, read_id, pos) with INVALID-rep padding, plus n_elems.
 
@@ -86,7 +81,7 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             jnp.arange(Lk, dtype=jnp.uint32)[None, :], (B, Lk)).reshape(-1)
         word = ((local << 17) | (pos_w << 1)
                 | flat_dir.astype(jnp.uint32).reshape(-1))
-        srep, sword = _sort_pairs(flat_rep, word, sort_backend)
+        srep, sword = _sort_pairs(flat_rep, word)
         if not (filter_thr_num == 1 and filter_thr_den == 1):
             lo = jnp.searchsorted(srep, srep, side="left")
             hi = jnp.searchsorted(srep, srep, side="right")
@@ -94,7 +89,7 @@ def build_index(rep, dirs, is_min, first_read_id: jnp.ndarray,
             keep = (cnt * filter_thr_den <= n_elems * filter_thr_num) & \
                    (srep != INVALID)
             srep = jnp.where(keep, srep, INVALID)
-            srep, sword = _sort_pairs(srep, sword, sort_backend)
+            srep, sword = _sort_pairs(srep, sword)
             n_elems = jnp.sum(keep).astype(jnp.int32)
         slocal = sword >> 17
         spos = ((sword >> 1) & jnp.uint32(0xFFFF)).astype(jnp.int32)
@@ -238,12 +233,12 @@ def match_anchors(qidx: dict, tidx: dict, cap: int, skip_self: bool = True):
 @functools.partial(jax.jit, static_argnames=(
     "k", "min_residues", "min_overlap_len", "min_bases_per_residue",
     "min_overlap_fraction_num", "min_overlap_fraction_den", "max_gap",
-    "pack2", "sort_backend"))
+    "pack2"))
 def chain_anchors(anchors: dict, k: int, min_residues: int,
                   min_overlap_len: int, min_bases_per_residue: int,
                   min_overlap_fraction_num: int,
                   min_overlap_fraction_den: int, max_gap: int,
-                  pack2: bool = False, sort_backend: str = "xla"):
+                  pack2: bool = False):
     """Triggered chaining.  Returns dict of (cap,) overlap field arrays with
     a validity mask (compaction happens on host where the list is small).
 
@@ -258,8 +253,7 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     if pack2:
         return _chain_anchors_packed(
             anchors, k, min_residues, min_overlap_len, min_bases_per_residue,
-            min_overlap_fraction_num, min_overlap_fraction_den, max_gap,
-            sort_backend)
+            min_overlap_fraction_num, min_overlap_fraction_den, max_gap)
     v = anchors["valid"]
     qid = jnp.where(v, anchors["q_read"], I32MAX)
     tid = jnp.where(v, anchors["t_read"], I32MAX)
@@ -291,8 +285,7 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
 
 def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
                           min_bases_per_residue, min_overlap_fraction_num,
-                          min_overlap_fraction_den, max_gap,
-                          sort_backend="xla"):
+                          min_overlap_fraction_den, max_gap):
     """pack2 path of chain_anchors: 2-operand uint32 sort (see docstring)."""
     UMAX = jnp.uint32(0xFFFFFFFF)
     v = anchors["valid"]
@@ -307,7 +300,7 @@ def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
     # all operands are keys and equal key pairs are fully identical
     # anchors, so an unstable sort is bit-identical in effect — which also
     # makes the Pallas bitonic backend a drop-in (same sorted array)
-    key1, key2 = _sort_pairs(key1, key2, sort_backend)
+    key1, key2 = _sort_pairs(key1, key2)
     v = key1 != UMAX
     k1 = key1.astype(jnp.int32)            # valid keys are < 2^31
     d = jnp.where(v, k1 & 1, I32MAX)

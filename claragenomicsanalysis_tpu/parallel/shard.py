@@ -160,8 +160,7 @@ def _chain_kwargs(cfg) -> dict:
                 min_bases_per_residue=cfg.min_bases_per_residue,
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
-                max_gap=cfg.max_anchor_gap,
-                sort_backend=getattr(cfg, "sort_backend", "xla"))
+                max_gap=cfg.max_anchor_gap)
 
 
 def _pad_target_for_rep(tidx_arrays: dict, n_rep: int) -> dict:

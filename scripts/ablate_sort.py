@@ -67,59 +67,21 @@ def variants(n):
             (x, y), num_keys=2, is_stable=False))(a, b)
         return _checksum(s1[:, ::1024], s2[:, ::1024])
 
-    def bitonic(logV):
-        from claragenomicsanalysis_tpu.ops.sort_pallas import \
-            bitonic_sort_pairs
-
-        def fn(seed):
-            k1, k2 = _keys(seed, n)
-            s1, s2 = bitonic_sort_pairs(k1, k2, logV=logV)
-            return _checksum(s1[::1024], s2[::1024])
-        return fn
-
+    # (the Pallas bitonic variants were RETIRED after the round-4 A/B:
+    # 0.55-0.57x sort2_unstable at every size — see ops/map_ops._sort_pairs)
     return [("gen_only", gen_only), ("sort2_unstable", sort2),
             ("sort1_stable+carry", sort1_stable_carry),
             ("sort1_unstable", sort1_unstable),
             ("gather_random", gather_random),
-            ("seg16_sort2", seg16_sort2),
-            ("bitonic_pallas_V14", bitonic(14)),
-            ("bitonic_pallas_V16", bitonic(16)),
-            ("bitonic_pallas_V17", bitonic(17))]
+            ("seg16_sort2", seg16_sort2)]
 
 
 def main():
     print(f"devices: {jax.devices()}")
-    # on-device bit-equality preflight for the Pallas sort (interpret-mode
-    # tests can't catch Mosaic-only issues like tile-alignment or the XOR
-    # index maps)
-    bitonic_ok = False
-    try:
-        from claragenomicsanalysis_tpu.ops.sort_pallas import \
-            bitonic_sort_pairs
-
-        @jax.jit
-        def _eq(seed):
-            k1, k2 = _keys(seed, 1 << 20)
-            g1, g2 = bitonic_sort_pairs(k1, k2, logV=16)
-            w1, w2 = jax.lax.sort((k1, k2), num_keys=2, is_stable=False)
-            return jnp.all(g1 == w1) & jnp.all(g2 == w2)
-
-        import numpy as np
-        bitonic_ok = bool(np.asarray(_eq(jnp.int32(3))))
-        print(f"bitonic on-device bit-equality @2^20: "
-              f"{'OK' if bitonic_ok else 'MISMATCH'}")
-    except Exception as e:
-        print(f"bitonic preflight FAILED: {type(e).__name__}: "
-              f"{str(e)[:300]}")
-    if not bitonic_ok:
-        print("bitonic variants SKIPPED (preflight failed: timing a wrong "
-              "kernel would read as a valid A/B result)")
     for logn in (22, 24, 26):
         n = 1 << logn
         base = None
         for name, fn in variants(n):
-            if name.startswith("bitonic") and not bitonic_ok:
-                continue
             ds = [(jnp.int32(7 + i),) for i in range(2)]
             try:
                 t = time_scanned(fn, ds, repeats=3, loops=1)

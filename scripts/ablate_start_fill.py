@@ -56,7 +56,7 @@ def main():
         a = dict(anchors)
         a["q_pos"] = a["q_pos"] ^ (salt & 1)   # distinct bytes per repeat
         out = map_ops._chain_anchors_packed(
-            a, sort_backend="xla", **kw) if fill else None
+            a, **kw) if fill else None
         if not fill:
             # re-derive the packed path with gathers by calling the scan
             # directly: replicate _chain_anchors_packed with fill16=False
@@ -77,7 +77,7 @@ def main():
         st16 = jnp.where(anchors["dir"] == 1, jnp.uint32(0xFFFF) - tp32, tp32)
         key2 = jnp.where(v, (anchors["q_pos"].astype(jnp.uint32) << 16)
                          | st16, UMAX)
-        key1, key2 = map_ops._sort_pairs(key1, key2, "xla")
+        key1, key2 = map_ops._sort_pairs(key1, key2)
         v = key1 != UMAX
         k1 = key1.astype(jnp.int32)
         d = jnp.where(v, k1 & 1, map_ops.I32MAX)

@@ -35,8 +35,6 @@ def main():
     ap.add_argument("--error-rate", type=float, default=0.05)
     ap.add_argument("--runs", type=int, default=2,
                     help="timed runs after the compile run (report best)")
-    ap.add_argument("--sort-backend", default="xla", choices=["xla", "pallas"],
-                    help="anchor-sort kernel for the chain stage")
     ap.add_argument("--fenced", action="store_true",
                     help="sync the device at every stage boundary so the "
                          "per-stage splits are truthful (adds ~30 ms tunnel "
@@ -56,7 +54,7 @@ def main():
                                                args.read_len)]
     parser = FastaParser("<mem>", records=[
         FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
-    cfg = MapperConfig(sort_backend=args.sort_backend)
+    cfg = MapperConfig()
     set_fenced_timings(args.fenced)
 
     best = None

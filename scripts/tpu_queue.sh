@@ -42,7 +42,6 @@ run sort_ablate      python scripts/ablate_sort.py
 run bench_all        python scripts/bench_all.py
 run map_fenced       python scripts/bench_map_scale.py --fenced --runs 1
 run map_scale        python scripts/bench_map_scale.py
-run map_scale_ps     python scripts/bench_map_scale.py --sort-backend pallas --runs 1
 run correct_scale    python scripts/bench_correct_scale.py
 run roll16_probe     python scripts/probe_roll16.py
 run map_gbp          python scripts/bench_map_scale.py --mbp 1000 --runs 1
