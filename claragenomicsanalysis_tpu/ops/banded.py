@@ -65,15 +65,37 @@ def resolve(backend: str):
                                           interpret=interpret)
         return "row", nw_row, decode_row
 
-    from .nw_diag_pallas import banded_nw_diag_pallas
+    from .nw_diag_pallas import (VMEM_BLOCK_BUDGET, banded_nw_diag_pallas,
+                                 vmem_block_bytes)
+    from .nw_band_pallas import band_width_sub
+
+    allow_row_fallback = backend in ("auto", "pallas")
 
     def nw_diag(q, qlen, t, tlen, r):
+        # long buckets (Lq+Lt ~> 12K) overflow the diag kernel's scoped
+        # VMEM — its q/t buffers are full-length double-buffered blocks
+        # (measured 16.75M vs the 16M limit at 8192+8192/r=128, the
+        # round-3/4 pipeline + correction crash).  The row kernel streams
+        # the query, so it stays feasible there; fall back per bucket.
+        # An explicit "pallas-diag" request skips the fallback and hits
+        # the kernel's own loud assert instead.
+        if (allow_row_fallback and vmem_block_bytes(
+                q.shape[1], t.shape[1], r) > VMEM_BLOCK_BUDGET):
+            return banded_nw_pallas(q, qlen, t, tlen, r,
+                                    interpret=interpret)
         return banded_nw_diag_pallas(q, qlen, t, tlen, r,
                                      interpret=interpret)
 
     def decode_diag(tb, qlen, tlen, r):
+        # the two layouts' band widths differ for every r >= 4 (diag:
+        # round_up(r+1, 8), row: round_up(2r+1, 8)), so the traceback
+        # kind is recovered from the tb block itself
+        w_diag, w_row = round_up(r + 1, 8), band_width_sub(r)
+        assert w_diag != w_row or tb.shape[2] not in (w_diag, w_row), \
+            f"ambiguous tb layout at r={r}"
         return traceback_paths_device(tb, qlen, tlen, r,
-                                      interpret=interpret, diag=True)
+                                      interpret=interpret,
+                                      diag=tb.shape[2] == w_diag)
     return "diag", nw_diag, decode_diag
 
 

@@ -49,6 +49,27 @@ from .nw_band import INF
 
 LANE_TILE = 128
 
+#: budget for the kernel's two full-length int32 q/t VMEM blocks (the
+#: Mosaic pipeline double-buffers them): the v5e scoped-VMEM limit is
+#: 16 MiB and Lq=Lt=8192/r=128 measured 16.75M on chip (correct_scale +
+#: bench_pipeline round-3/4 failures) — leave room for scratch/outputs
+VMEM_BLOCK_BUDGET = 12 * 2**20
+
+
+def vmem_block_bytes(Lq: int, Lt: int, r: int) -> int:
+    """Bytes the double-buffered q/t input blocks pin in VMEM for this
+    shape bucket — the feasibility test ops.banded uses to fall back to
+    the row kernel (which streams the query) on long buckets."""
+    W = round_up(r + 1, 8)
+    R = 16
+    Dpad = round_up(Lq + Lt + 1, R)
+    i_top_max = (Dpad - 1 + r) // 2
+    PADQ = round_up(max(0, i_top_max - Lq), 8)
+    PADT = round_up(r // 2 + 2, 8)
+    S_q = round_up(PADQ + Lq + W + 8, 8)
+    S_t = round_up(PADT + Lt + W + 8, 8)
+    return 2 * 4 * LANE_TILE * (S_q + S_t)
+
 
 def _shift_lower(x, s, krow, fill):
     """out[k] = x[k-s]; `fill` for k < s (sublane axis 0)."""
@@ -158,6 +179,9 @@ def banded_nw_diag_pallas(q, qlen, t, tlen, band_radius: int,
     i_top_max = (Dpad - 1 + r) // 2
     PADQ = round_up(max(0, i_top_max - Lq0), 8)
     PADT = round_up(r // 2 + 2, 8)
+    assert vmem_block_bytes(Lq0, Lt0, r) <= VMEM_BLOCK_BUDGET, (
+        "diag kernel q/t VMEM blocks exceed the scoped budget for "
+        f"Lq={Lq0} Lt={Lt0} r={r}; route via ops.banded (row fallback)")
 
     q = jnp.pad(q.astype(jnp.int32), ((0, Bp - B), (0, 0)),
                 constant_values=-1)

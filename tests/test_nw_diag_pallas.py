@@ -150,3 +150,44 @@ def test_diag_fuzz_vs_oracle(rng):
             # banded DP = full DP whenever the optimum fits the band
             full = int(nw_oracle.nw_matrix(a_s, b_s)[len(a_s), len(b_s)])
             assert sc >= full
+
+
+def test_auto_routes_vmem_heavy_buckets_to_row(monkeypatch):
+    """resolve("auto") must fall back to the row kernel when the diag
+    kernel's q/t VMEM blocks exceed the scoped budget (the round-3/4
+    pipeline/correction compile crash), with decode following the tb
+    layout.  Forced here by shrinking the budget."""
+    import numpy as np
+    import claragenomicsanalysis_tpu.ops.nw_diag_pallas as nd
+    from claragenomicsanalysis_tpu.ops.banded import resolve
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        encode, generate_random_genome, mutate_sequence)
+
+    # real-shape arithmetic: the measured OOM bucket must NOT fit, the
+    # pileup-scale bucket must
+    assert nd.vmem_block_bytes(8192, 8192, 128) > nd.VMEM_BLOCK_BUDGET
+    assert nd.vmem_block_bytes(4096, 4096, 64) <= nd.VMEM_BLOCK_BUDGET
+
+    rng = np.random.default_rng(5)
+    B, Lq, r = 8, 128, 16
+    q = np.full((B, Lq), -1, np.int8)
+    t = np.full((B, Lq), -1, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for i in range(B):
+        a = generate_random_genome(100, rng)
+        b = mutate_sequence(a, 8, rng)[:Lq]
+        q[i, : len(a)] = encode(a)
+        t[i, : len(b)] = encode(b)
+        qlen[i], tlen[i] = len(a), len(b)
+
+    _, nw_row, dec_row = resolve("pallas-row")
+    _, tb_w = nw_row(q, qlen, t, tlen, r)
+    want = dec_row(tb_w, qlen, tlen, r)
+
+    monkeypatch.setattr(nd, "VMEM_BLOCK_BUDGET", 1)
+    kind, nw, dec = resolve("pallas")      # auto's kernel branch off-TPU
+    scores, tb = nw(q, qlen, t, tlen, r)
+    assert tb.shape == tb_w.shape          # row layout chosen
+    got = dec(tb, qlen, tlen, r)
+    assert got == want
