@@ -406,9 +406,20 @@ class Matcher:
 
 
 def _pack2_ok(qidx: "Index", tidx: "Index") -> bool:
-    """True when every read id (global) fits 15 bits and every position 16
-    bits on both sides — the precondition for chain_anchors' 2-operand
-    packed sort.  Falls back to the 4-operand path otherwise."""
+    """True when the CHUNK-LOCAL read ids fit 15 bits and every position
+    16 bits on both sides — the precondition for chain_anchors' 2-operand
+    packed sort with q_base/t_base id rebasing (so Gbp-scale runs whose
+    GLOBAL ids exceed 2^15 keep the fast path; chunk sizes are bounded by
+    the index budget and never approach 2^15 reads in practice)."""
+    return (len(qidx.read_lengths) <= (1 << 15)
+            and len(tidx.read_lengths) <= (1 << 15)
+            and max(qidx.read_lengths, default=0) <= (1 << 16)
+            and max(tidx.read_lengths, default=0) <= (1 << 16))
+
+
+def _pack2_ok_global(qidx: "Index", tidx: "Index") -> bool:
+    """The stricter GLOBAL-id variant for paths that do not thread the
+    q_base/t_base rebase operands (the rep-mesh routed chain)."""
     return (qidx.first_read_id + len(qidx.read_lengths) <= (1 << 15)
             and tidx.first_read_id + len(tidx.read_lengths) <= (1 << 15)
             and max(qidx.read_lengths, default=0) <= (1 << 16)
@@ -427,7 +438,8 @@ class Overlapper:
 
     @staticmethod
     def get_overlap_rows(anchors: dict, cfg: MapperConfig,
-                         pack2: bool = False) -> np.ndarray:
+                         pack2: bool = False, q_base: int = 0,
+                         t_base: int = 0) -> np.ndarray:
         """Chained overlaps as an (8, n) int32 array in canonical
         Overlap.key() order (rows: q_read, t_read, q_start, q_end, t_start,
         t_end, n_residues, strand01).  The array form is the scale path —
@@ -445,7 +457,8 @@ class Overlapper:
                 min_bases_per_residue=cfg.min_bases_per_residue,
                 min_overlap_fraction_num=frac.numerator,
                 min_overlap_fraction_den=frac.denominator,
-                max_gap=cfg.max_anchor_gap, pack2=pack2)
+                max_gap=cfg.max_anchor_gap, pack2=pack2,
+                q_base=q_base, t_base=t_base)
         return Overlapper.compact_rows(out)
 
     @staticmethod
@@ -540,9 +553,11 @@ class Overlapper:
 
     @staticmethod
     def get_overlaps(anchors: dict, cfg: MapperConfig,
-                     pack2: bool = False) -> list[Overlap]:
+                     pack2: bool = False, q_base: int = 0,
+                     t_base: int = 0) -> list[Overlap]:
         return Overlapper.rows_to_overlaps(
-            Overlapper.get_overlap_rows(anchors, cfg, pack2=pack2))
+            Overlapper.get_overlap_rows(anchors, cfg, pack2=pack2,
+                                        q_base=q_base, t_base=t_base))
 
     @staticmethod
     def filter_overlaps(overlaps: list[Overlap], min_residues: int = 0,
@@ -775,8 +790,9 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     cap_est: int | None = None     # ratcheting capacity across pairs
     for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
         if mesh is not None and mesh.shape.get("rep", 1) > 1:
-            rows, st = _mesh_overlap_rows(qidx, tidx, cfg, mesh,
-                                          max_anchors, _pack2_ok(qidx, tidx))
+            rows, st = _mesh_overlap_rows(
+                qidx, tidx, cfg, mesh, max_anchors,
+                _pack2_ok_global(qidx, tidx))
             statuses.append(st)
             all_rows.append(rows)
             continue
@@ -786,12 +802,14 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
         matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                          cap_hint=cap_est)
         rows = Overlapper.get_overlap_rows(
-            matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx))
+            matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
+            q_base=qidx.first_read_id, t_base=tidx.first_read_id)
         if matcher.truncated:
             matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                              cap=max_anchors)
             rows = Overlapper.get_overlap_rows(
-                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx))
+                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
+                q_base=qidx.first_read_id, t_base=tidx.first_read_id)
         cap_est = max(cap_est or 0,
                       1 << (max(matcher.n_anchors, 1) - 1).bit_length())
         statuses.append(matcher.status)
@@ -831,7 +849,7 @@ def map_query_vs_target(query_parser: FastaParser,
             if mesh is not None and mesh.shape.get("rep", 1) > 1:
                 rows, st = _mesh_overlap_rows(
                     qidx, tidx, cfg, mesh, max_anchors,
-                    _pack2_ok(qidx, tidx))
+                    _pack2_ok_global(qidx, tidx))
                 statuses.append(st)
                 all_rows.append(rows)
                 continue
@@ -839,12 +857,14 @@ def map_query_vs_target(query_parser: FastaParser,
                                              cap=max_anchors,
                                              cap_hint=cap_est)
             rows = Overlapper.get_overlap_rows(
-                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx))
+                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
+                q_base=qidx.first_read_id, t_base=tidx.first_read_id)
             if matcher.truncated:
                 matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                                  cap=max_anchors)
                 rows = Overlapper.get_overlap_rows(
-                    matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx))
+                    matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
+                    q_base=qidx.first_read_id, t_base=tidx.first_read_id)
             cap_est = max(cap_est or 0,
                           1 << (max(matcher.n_anchors, 1) - 1).bit_length())
             statuses.append(matcher.status)

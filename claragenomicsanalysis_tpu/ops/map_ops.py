@@ -238,7 +238,7 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
                   min_overlap_len: int, min_bases_per_residue: int,
                   min_overlap_fraction_num: int,
                   min_overlap_fraction_den: int, max_gap: int,
-                  pack2: bool = False):
+                  pack2: bool = False, q_base=0, t_base=0):
     """Triggered chaining.  Returns dict of (cap,) overlap field arrays with
     a validity mask (compaction happens on host where the list is small).
 
@@ -251,9 +251,14 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
     deltas are preserved (st16 differences equal the signed st
     differences), so the chain scan below is shared verbatim."""
     if pack2:
+        # q_base/t_base: chunk-local id packing (ids are RELATIVE to each
+        # index's first read inside the 15-bit key fields, restored on
+        # output) — global ids only bound the UNPACKED path, so Gbp-scale
+        # runs with >= 2^15 total reads keep the 2-operand sort + fill16
         return _chain_anchors_packed(
             anchors, k, min_residues, min_overlap_len, min_bases_per_residue,
-            min_overlap_fraction_num, min_overlap_fraction_den, max_gap)
+            min_overlap_fraction_num, min_overlap_fraction_den, max_gap,
+            q_base, t_base)
     v = anchors["valid"]
     qid = jnp.where(v, anchors["q_read"], I32MAX)
     tid = jnp.where(v, anchors["t_read"], I32MAX)
@@ -285,12 +290,15 @@ def chain_anchors(anchors: dict, k: int, min_residues: int,
 
 def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
                           min_bases_per_residue, min_overlap_fraction_num,
-                          min_overlap_fraction_den, max_gap):
+                          min_overlap_fraction_den, max_gap,
+                          q_base=0, t_base=0):
     """pack2 path of chain_anchors: 2-operand uint32 sort (see docstring)."""
     UMAX = jnp.uint32(0xFFFFFFFF)
+    q_base = jnp.asarray(q_base, jnp.int32)
+    t_base = jnp.asarray(t_base, jnp.int32)
     v = anchors["valid"]
-    qid32 = anchors["q_read"].astype(jnp.uint32)
-    tid32 = anchors["t_read"].astype(jnp.uint32)
+    qid32 = (anchors["q_read"] - q_base).astype(jnp.uint32)
+    tid32 = (anchors["t_read"] - t_base).astype(jnp.uint32)
     d32 = anchors["dir"].astype(jnp.uint32)
     tp32 = anchors["t_pos"].astype(jnp.uint32)
     key1 = jnp.where(v, (qid32 << 16) | (tid32 << 1) | d32, UMAX)
@@ -304,8 +312,8 @@ def _chain_anchors_packed(anchors, k, min_residues, min_overlap_len,
     v = key1 != UMAX
     k1 = key1.astype(jnp.int32)            # valid keys are < 2^31
     d = jnp.where(v, k1 & 1, I32MAX)
-    qid = jnp.where(v, k1 >> 16, I32MAX)
-    tid = jnp.where(v, (k1 >> 1) & 0x7FFF, I32MAX)
+    qid = jnp.where(v, (k1 >> 16) + q_base, I32MAX)
+    tid = jnp.where(v, ((k1 >> 1) & 0x7FFF) + t_base, I32MAX)
     k2 = key2.astype(jnp.int32)
     qp = jnp.where(v, (k2 >> 16) & 0xFFFF, I32MAX)
     st = jnp.where(v, k2 & 0xFFFF, I32MAX)

@@ -48,17 +48,19 @@ def map_all_vs_all_resumable(parser, cfg: MapperConfig, work_dir: str,
                 continue
             qidx = cache.get_or_create(parser, qf, ql, cfg)
             tidx = cache.get_or_create(parser, tf, tl, cfg)
-            from ..models.mapper import _mesh_overlap_rows, _pack2_ok
+            from ..models.mapper import (_mesh_overlap_rows, _pack2_ok,
+                                         _pack2_ok_global)
             if mesh is not None and mesh.shape.get("rep", 1) > 1:
                 rows, _ = _mesh_overlap_rows(qidx, tidx, cfg, mesh,
                                              max_anchors,
-                                             _pack2_ok(qidx, tidx))
+                                             _pack2_ok_global(qidx, tidx))
                 overlaps = Overlapper.rows_to_overlaps(rows)
             else:
                 matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                                  cap=max_anchors)
-                overlaps = Overlapper.get_overlaps(matcher.anchors(), cfg,
-                                                   pack2=_pack2_ok(qidx, tidx))
+                overlaps = Overlapper.get_overlaps(
+                    matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
+                    q_base=qidx.first_read_id, t_base=tidx.first_read_id)
             with open(os.path.join(work_dir, name + ".jsonl"), "w") as f:
                 for o in overlaps:
                     f.write(json.dumps(o.__dict__) + "\n")

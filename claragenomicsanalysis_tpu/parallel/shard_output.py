@@ -29,7 +29,8 @@ def map_all_vs_all_sharded(parser, cfg, out_dir: str, mesh,
     `part_p{pair}_r{shard}.npy` (an (8, n) canonical overlap-rows array)
     for exactly the rep shards it owns; no host ever materializes the
     global overlap set.  Returns (paths written locally, n_pairs)."""
-    from ..models.mapper import IndexCache, Overlapper, _pack2_ok
+    from ..models.mapper import (IndexCache, Overlapper,
+                                 _pack2_ok_global)
     from .shard import sharded_match_chain
     if mesh.shape.get("rep", 1) < 2:
         raise ValueError("sharded output needs a mesh with a rep axis >= 2")
@@ -43,7 +44,7 @@ def map_all_vs_all_sharded(parser, cfg, out_dir: str, mesh,
         tidx = cache.get_or_create(parser, tf, tl, cfg)
         out, _ = sharded_match_chain(
             qidx._arrays, tidx._arrays, cfg, mesh, cap=max_anchors,
-            pack2=_pack2_ok(qidx, tidx),
+            pack2=_pack2_ok_global(qidx, tidx),
             n_query_reads=len(qidx.read_lengths),
             first_read=qidx.first_read_id)
         for r, rows in Overlapper.compact_rows_local(out, mesh).items():

@@ -401,3 +401,41 @@ def test_sketch_packed_bit_equal():
         for g, wnt, nm in zip(got, want, ("rep", "dirs", "is_min")):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(wnt),
                                           err_msg=f"k={k} w={w} {nm}")
+
+
+def test_chain_anchors_pack2_rebased_ids():
+    """pack2 with q_base/t_base rebasing must equal the unpacked path when
+    GLOBAL read ids exceed 15 bits (the Gbp-scale case: chunk-local ids
+    fit, global ids do not)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from claragenomicsanalysis_tpu.ops import map_ops
+
+    rng = np.random.default_rng(23)
+    C, nq, L = 2048, 1000, 1 << 16
+    qb, tb = 70_000, 90_000          # far past 2^15
+    anchors = {
+        "q_read": qb + rng.integers(0, nq, C, dtype=np.int32),
+        "t_read": tb + rng.integers(0, nq, C, dtype=np.int32),
+        "q_pos": rng.integers(0, L, C, dtype=np.int32),
+        "t_pos": rng.integers(0, L, C, dtype=np.int32),
+        "dir": rng.integers(0, 2, C, dtype=np.int32),
+        "valid": rng.random(C) < 0.9,
+    }
+    for s in range(0, C, 8):         # clustered anchors -> real chains
+        for f in ("q_read", "t_read", "dir"):
+            anchors[f][s:s+8] = anchors[f][s]
+        for f, sgn in (("q_pos", 1), ("t_pos", 1)):
+            base = int(anchors[f][s]) % (L - 200)
+            anchors[f][s:s+8] = base + rng.integers(1, 12, 8).cumsum()
+    ja = {k: jnp.asarray(v) for k, v in anchors.items()}
+    kw = dict(k=15, min_residues=2, min_overlap_len=10,
+              min_bases_per_residue=100, min_overlap_fraction_num=0,
+              min_overlap_fraction_den=1, max_gap=50)
+    o_ref = map_ops.chain_anchors(ja, pack2=False, **kw)
+    o_p2 = map_ops.chain_anchors(ja, pack2=True, q_base=qb, t_base=tb, **kw)
+    r_ref, n_ref = map_ops.compact_overlaps(o_ref)
+    r_p2, n_p2 = map_ops.compact_overlaps(o_p2)
+    assert int(n_ref) == int(n_p2) and int(n_ref) > 0
+    np.testing.assert_array_equal(np.asarray(r_ref)[:, :int(n_ref)],
+                                  np.asarray(r_p2)[:, :int(n_p2)])
