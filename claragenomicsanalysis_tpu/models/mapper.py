@@ -200,16 +200,24 @@ class Index:
         with trace_range("mapper.sketch"):
             # 2-bit packed transfer: 4x less through the ~20 MB/s tunnel
             # than the byte-per-base matrix; N positions ride as a sparse
-            # pow2-padded list (OOB rows drop inside the kernel)
+            # pow2-padded list (OOB rows drop inside the kernel).  N-dense
+            # chunks (assembly gaps can run >10% N) would make the 8-byte
+            # index pairs BIGGER than the byte matrix — keep the plain
+            # path when the sparse list stops paying (~9% of B*L).
             packed, n_rows, n_cols = sketch.pack_reads(reads, lens)
-            npad = max(8, 1 << (max(len(n_rows), 1) - 1).bit_length())
-            n_rows = np.pad(n_rows, (0, npad - len(n_rows)),
-                            constant_values=B)
-            n_cols = np.pad(n_cols, (0, npad - len(n_cols)))
-            rep, dirs, is_min = sketch.sketch_batch_packed(
-                jnp.asarray(packed), jnp.asarray(n_rows),
-                jnp.asarray(n_cols), jnp.asarray(lens), k, w,
-                cfg.hash_representations)
+            if 8 * len(n_rows) > (B * L * 3) // 4:
+                rep, dirs, is_min = sketch.sketch_batch(
+                    jnp.asarray(reads), jnp.asarray(lens), k, w,
+                    cfg.hash_representations)
+            else:
+                npad = max(8, 1 << (max(len(n_rows), 1) - 1).bit_length())
+                n_rows = np.pad(n_rows, (0, npad - len(n_rows)),
+                                constant_values=B)
+                n_cols = np.pad(n_cols, (0, npad - len(n_cols)))
+                rep, dirs, is_min = sketch.sketch_batch_packed(
+                    jnp.asarray(packed), jnp.asarray(n_rows),
+                    jnp.asarray(n_cols), jnp.asarray(lens), k, w,
+                    cfg.hash_representations)
         frac = Fraction(cfg.filtering_parameter).limit_denominator(10**6)
         # packed side array fits when local read ids take < 2^15 and
         # positions < 2^16 (B/L are the pow2-padded shapes)

@@ -77,25 +77,33 @@ def resolve(backend: str):
         # (measured 16.75M vs the 16M limit at 8192+8192/r=128, the
         # round-3/4 pipeline + correction crash).  The row kernel streams
         # the query, so it stays feasible there; fall back per bucket.
+        # r < 4 also routes to row: there the two layouts' band widths
+        # collide (both 8) and decode below could not tell them apart.
         # An explicit "pallas-diag" request skips the fallback and hits
         # the kernel's own loud assert instead.
-        if (allow_row_fallback and vmem_block_bytes(
-                q.shape[1], t.shape[1], r) > VMEM_BLOCK_BUDGET):
+        if (allow_row_fallback
+                and (r < 4 or vmem_block_bytes(
+                    q.shape[1], t.shape[1], r) > VMEM_BLOCK_BUDGET)):
             return banded_nw_pallas(q, qlen, t, tlen, r,
                                     interpret=interpret)
         return banded_nw_diag_pallas(q, qlen, t, tlen, r,
                                      interpret=interpret)
 
     def decode_diag(tb, qlen, tlen, r):
-        # the two layouts' band widths differ for every r >= 4 (diag:
-        # round_up(r+1, 8), row: round_up(2r+1, 8)), so the traceback
-        # kind is recovered from the tb block itself
-        w_diag, w_row = round_up(r + 1, 8), band_width_sub(r)
-        assert w_diag != w_row or tb.shape[2] not in (w_diag, w_row), \
-            f"ambiguous tb layout at r={r}"
+        # mirror nw_diag's choice: without the fallback the tb is always
+        # the diag layout; with it, the band widths disagree for every
+        # r >= 4 (diag: round_up(r+1, 8), row: round_up(2r+1, 8)) and
+        # r < 4 always went to row above
+        if not allow_row_fallback:
+            diag = True
+        elif r < 4:
+            diag = False
+        else:
+            w_diag, w_row = round_up(r + 1, 8), band_width_sub(r)
+            assert tb.shape[2] in (w_diag, w_row), (tb.shape, r)
+            diag = tb.shape[2] == w_diag
         return traceback_paths_device(tb, qlen, tlen, r,
-                                      interpret=interpret,
-                                      diag=tb.shape[2] == w_diag)
+                                      interpret=interpret, diag=diag)
     return "diag", nw_diag, decode_diag
 
 

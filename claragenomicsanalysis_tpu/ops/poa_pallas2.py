@@ -1324,21 +1324,21 @@ def _build_consensus_kernel(bs: BatchSize):
     return kernel, dict(N=N, P=P, MC=MC, MCS=MCS)
 
 
-def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank,
-                      order=None):
+def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
     """Lockstep consensus over all windows.  Returns (codes (W, MC),
     covs (W, MC), length (W,)) matching poa_ops.consensus bit-for-bit.
 
-    order: the (W, N) topological order matching `rank` (the final
-    topsort's output).  Derived from rank when omitted — outputs are
-    identical either way; the order only sets the score sweep count."""
+    The score sweep's visit order is argsort(rank) — an EXACT topological
+    order at consensus time, always a permutation even on overflow
+    windows (unlike the topsort kernel's `order` output, whose
+    non-converged levels can overflow the counting-sort buckets) — so
+    the relaxation converges in one productive sweep."""
     W = rank.shape[0]
     kernel, d = _build_consensus_kernel(bs)
     N, P, MC, MCS = d["N"], d["P"], d["MC"], d["MCS"]
     LANES = 128
     Wp = round_up(W, LANES)
-    if order is None:
-        order = jnp.argsort(rank.astype(jnp.int32), axis=1)
+    order = jnp.argsort(rank.astype(jnp.int32), axis=1)
 
     def t2(x, rows, fill=0):
         x = jnp.transpose(x.astype(jnp.int32))
@@ -1681,13 +1681,6 @@ def poa_batch_pallas2(seqs, weights, lens, n_seqs, bs: BatchSize,
 
     _, order, rank, _ = run_topsort(state, level, visit)
     if "consensus" in phases:
-        # visit order derived from rank, NOT the topsort's order output:
-        # on overflow windows the non-converged level array can overflow
-        # the counting-sort buckets, leaving order a NON-permutation
-        # (skipped nodes would freeze the score sweep on a wrong
-        # fixpoint).  rank is always a permutation, and argsort(rank) is
-        # the exact topological order on healthy windows — same one-sweep
-        # convergence.
         codes, covs, length = _consensus_pallas(bs, interpret, state, rank)
     else:
         codes, covs, length = jax.vmap(

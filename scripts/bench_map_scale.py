@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--error-rate", type=float, default=0.05)
     ap.add_argument("--runs", type=int, default=2,
                     help="timed runs after the compile run (report best)")
+    ap.add_argument("--index-size", type=int, default=None,
+                    help="MapperConfig.index_size_mb override: chunk-pair "
+                         "count scales quadratically with its inverse, and "
+                         "per-pair fixed dispatch costs dominated the Gbp "
+                         "run (1156 pairs at 30 MB)")
     ap.add_argument("--fenced", action="store_true",
                     help="sync the device at every stage boundary so the "
                          "per-stage splits are truthful (adds ~30 ms tunnel "
@@ -54,7 +59,8 @@ def main():
                                                args.read_len)]
     parser = FastaParser("<mem>", records=[
         FastaSequence(f"r{i}", s) for i, s in enumerate(reads)])
-    cfg = MapperConfig()
+    cfg = (MapperConfig(index_size_mb=args.index_size)
+           if args.index_size else MapperConfig())
     set_fenced_timings(args.fenced)
 
     best = None

@@ -29,9 +29,9 @@ run() {
 #    Batch "auto" routing (pallas2 WPG=16 on the small config); expect
 #    >=1.0 Gcells/s on 128x8x100bp (r3 queue measured 1.297 at WPG=16).
 # 2. Pileup phase profile: locate the v2 wall at P=S=16/250bp.
-# 3. Bitonic sort retest: the i1-trunci mask algebra was rewritten in
-#    int32; preflight should now pass.  If pallas still loses to XLA sort,
-#    the knob dies (VERDICT r3 #5).
+# 3. Sort ablate: XLA-variant baselines only — the Pallas bitonic knob
+#    was RETIRED mid-round after losing the on-chip A/B at every size
+#    (commit 'Retire the Pallas bitonic sort backend').
 # 4. Fenced mapper profile: truthful per-stage splits at 100 Mbp.
 # 5. Pipeline + correction numbers (config #4/#5).
 # 6. Gbp-scale all-vs-all (capacity ratchet / index-store churn at the

@@ -279,3 +279,60 @@ def test_v2_model_backend():
             b.add_poa_group(w)
         outs[backend] = b.get_consensus()
     assert outs["pallas2"] == outs["xla"]
+
+
+def test_topsort_guess_cuts_sweeps():
+    """Regression guard for the visit-order guess: on evolved pileup-ish
+    graphs the guided sweep must converge in <= 3 relaxation sweeps
+    (1 productive + 1 clean, +1 slack for > 4-long new-node chains) while
+    remaining bit-identical to the identity order.  Consumes the kernel's
+    meta sweep-count diagnostic (with_iters)."""
+    import jax
+    import jax.numpy as jnp
+    from claragenomicsanalysis_tpu.core.config import BatchSize
+    from claragenomicsanalysis_tpu.ops import poa_ops
+    from claragenomicsanalysis_tpu.ops.poa_pallas2 import (_topsort_pallas,
+                                                           topsort_guess)
+
+    bs = BatchSize(max_sequence_size=128, max_sequences_per_poa=6,
+                   max_pred_per_node=8, max_aligned_per_node=4,
+                   max_nodes_per_window=320)
+    sc = PoaScores()
+    N = bs.padded_nodes
+    seqs, weights, lens, n_seqs = make_batch(bs, W=4, S=6, base_len=110,
+                                             n_mut=10, seed=29)
+    seqs, weights, lens = (jnp.asarray(seqs), jnp.asarray(weights),
+                           jnp.asarray(lens))
+    state = jax.vmap(lambda s0, w0, l0: poa_ops.init_state(
+        bs, s0, w0, l0))(seqs[:, 0], weights[:, 0], lens[:, 0])
+    level = jnp.where(jnp.arange(N)[None, :] < lens[:, :1],
+                      jnp.arange(N, dtype=jnp.int32)[None, :], 0)
+    for si in range(1, 6):
+        nl, order, rank, _ = jax.vmap(
+            lambda st, lv: poa_ops.topsort(st, lv, N + 2))(state, level)
+        Smat = jax.vmap(lambda st, o, r, q, s_: poa_ops.graph_nw(
+            st, o, r, q, s_, sc))(state, order, rank, seqs[:, si],
+                                  lens[:, si])
+        pn, pp, k0, _ = jax.vmap(
+            lambda st, o, r, sm, q, s_: poa_ops.nw_traceback(
+                st, o, r, sm, q, s_, sc, N + bs.padded_seq))(
+            state, order, rank, Smat, seqs[:, si], lens[:, si])
+        new_state = jax.vmap(
+            lambda st, a, b_, q, ww, kk: poa_ops.add_alignment(
+                st, a, b_, q, ww, jnp.int32(si), bs, path_start=kk))(
+            state, pn, pp, seqs[:, si], weights[:, si], k0)
+        guess = topsort_guess(state.node_count, new_state.node_count,
+                              new_state.pred[:, :, 0].astype(jnp.int32),
+                              nl, N)
+        state, level = new_state, nl
+        *out_id, it_id = _topsort_pallas(bs, True, state, level,
+                                         with_iters=True)
+        *out_g, it_g = _topsort_pallas(bs, True, state, level, guess,
+                                       with_iters=True)
+        for a, b in zip(out_id, out_g):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert int(np.asarray(it_g).max()) <= 3, (
+            si, np.asarray(it_g), np.asarray(it_id))
+        # the guess must actually pay once inversions accumulate
+        if si >= 3:
+            assert int(np.asarray(it_g).max()) < int(np.asarray(it_id).max())
