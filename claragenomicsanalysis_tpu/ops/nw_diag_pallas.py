@@ -49,17 +49,20 @@ from .nw_band import INF
 
 LANE_TILE = 128
 
-#: budget for the kernel's two full-length int32 q/t VMEM blocks (the
-#: Mosaic pipeline double-buffers them): the v5e scoped-VMEM limit is
-#: 16 MiB and Lq=Lt=8192/r=128 measured 16.75M on chip (correct_scale +
-#: bench_pipeline round-3/4 failures) — leave room for scratch/outputs
-VMEM_BLOCK_BUDGET = 12 * 2**20
+#: scoped-VMEM feasibility budget for the diag kernel (v5e limit 16 MiB).
+#: Two on-chip OOM data points calibrate the estimator below:
+#:   Lq=Lt=8192, r=128 -> 16.75M   (block-dominated)
+#:   Lq=Lt=4096, r=512 -> 17.59M   (stack-dominated: the R=16 unrolled
+#:                                  diagonal loop keeps ~3 (W, 128) i32
+#:                                  temporaries live per iteration)
+VMEM_BLOCK_BUDGET = 14 * 2**20
 
 
 def vmem_block_bytes(Lq: int, Lt: int, r: int) -> int:
-    """Bytes the double-buffered q/t input blocks pin in VMEM for this
-    shape bucket — the feasibility test ops.banded uses to fall back to
-    the row kernel (which streams the query) on long buckets."""
+    """Conservative scoped-VMEM estimate for this shape bucket: q/t input
+    blocks (pipeline-buffered, ~1.5x) plus the unrolled-loop stack term.
+    ops.banded uses it to fall back to the row kernel (which streams the
+    query and ran r=512 pipeline shapes on chip in round 2)."""
     W = round_up(r + 1, 8)
     R = 16
     Dpad = round_up(Lq + Lt + 1, R)
@@ -68,7 +71,9 @@ def vmem_block_bytes(Lq: int, Lt: int, r: int) -> int:
     PADT = round_up(r // 2 + 2, 8)
     S_q = round_up(PADQ + Lq + W + 8, 8)
     S_t = round_up(PADT + Lt + W + 8, 8)
-    return 2 * 4 * LANE_TILE * (S_q + S_t)
+    blocks = 4 * LANE_TILE * (S_q + S_t)
+    stack = 3 * R * W * LANE_TILE * 4
+    return blocks + blocks // 2 + stack
 
 
 def _shift_lower(x, s, krow, fill):
