@@ -70,8 +70,14 @@ def _align_overlaps(overlaps: list[Overlap], parser: FastaParser,
     as models/pipeline.py — large chunks, because the myers driver already
     bounds per-dispatch memory and every extra chunk costs tunnel round
     trips).  Returns one path (AlignmentState codes) per overlap;
-    unalignable overlaps get an empty path."""
-    max_len = 1
+    unalignable overlaps get an empty path.
+
+    Spans are grouped by their OWN pow2 length bucket, not the part's
+    global max: the Myers scoring pass is O(Lq*Lt), so one 5 kb overlap
+    in a part must not pad every 512 bp span to 8192^2 cells (167x
+    waste).  O(log L) buckets keep the executable count bounded, and a
+    span's path is independent of its batch padding, so the output is
+    bit-identical to the single-bucket packing."""
     spans = []
     for o in overlaps:
         q = parser.get_sequence_by_id(o.query_read_id).seq[
@@ -81,20 +87,24 @@ def _align_overlaps(overlaps: list[Overlap], parser: FastaParser,
         if o.relative_strand == "-":
             t = reverse_complement(t)
         spans.append((q, t))
-        max_len = max(max_len, len(q), len(t))
-    max_len = max(64, 1 << (max_len - 1).bit_length())  # pow2 bucket
 
-    paths: list[list[int]] = []
-    for start in range(0, len(spans), batch_size):
-        chunk = spans[start:start + batch_size]
-        aligner = create_aligner(
-            max_len, max_len, len(chunk),
-            band_radius=min(cfg.aligner_band_radius, max_len),
-            algorithm="myers")
-        for q, t in chunk:
-            aligner.add_alignment(q, t)
-        for a in aligner.get_alignments():
-            paths.append(a.path if a.status == StatusType.SUCCESS else [])
+    buckets: dict[int, list[int]] = {}
+    for i, (q, t) in enumerate(spans):
+        L = max(64, 1 << (max(len(q), len(t), 1) - 1).bit_length())
+        buckets.setdefault(L, []).append(i)
+
+    paths: list[list[int]] = [[] for _ in spans]
+    for L, idxs in sorted(buckets.items()):
+        for start in range(0, len(idxs), batch_size):
+            sel = idxs[start:start + batch_size]
+            aligner = create_aligner(
+                L, L, len(sel),
+                band_radius=min(cfg.aligner_band_radius, L),
+                algorithm="myers")
+            for i in sel:
+                aligner.add_alignment(*spans[i])
+            for i, a in zip(sel, aligner.get_alignments()):
+                paths[i] = a.path if a.status == StatusType.SUCCESS else []
     return paths
 
 
@@ -148,56 +158,80 @@ def _window_supports(read_seq: str, overlaps: list[Overlap],
 POA_MEM_BUDGET = 1 << 30
 
 
+def _polish_batch_size(cfg: CorrectConfig, depth: int) -> BatchSize:
+    """BatchSize for a polish dispatch of pileups up to `depth` sequences
+    (backbone included).
+
+    - deep noisy pileups accumulate many deletion skip-edges per node; the
+      default pred cap of 4 (CUDAPOA_MAX_NODE_EDGES analog) overflows at
+      ~10+ supports, so the caps scale with the pileup depth;
+    - max_nodes: backbone W plus error branches — 3*W is ample for <=30%
+      divergence and keeps the window plan inside the TPU kernel's SMEM
+      budget (the BatchSize default of 3*max_sequence_size = 6*W does not)."""
+    W = cfg.window_length
+    return BatchSize(max_sequence_size=2 * W,
+                     max_nodes_per_window=3 * W,
+                     max_sequences_per_poa=depth,
+                     max_pred_per_node=max(4, depth),
+                     max_aligned_per_node=max(4, depth // 2))
+
+
 def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
                     windows_per_dispatch: int | None) -> tuple[list[str], int]:
     """POA consensus for each job (= [backbone, support...]).  Returns the
     consensus strings (backbone kept where POA fails) and the failure
     count.  windows_per_dispatch=None sizes dispatches from the
-    core.bufferplan capacity arithmetic (the BatchBlock analog)."""
-    W = cfg.window_length
-    # deep noisy pileups accumulate many deletion skip-edges per node; the
-    # default pred cap of 4 (CUDAPOA_MAX_NODE_EDGES analog) overflows at
-    # ~10+ supports, so scale it with the pileup depth
-    # max_nodes: backbone W plus error branches — 3*W is ample for <=30%
-    # divergence and keeps the window plan inside the TPU kernel's SMEM
-    # budget (the BatchSize default of 3*max_sequence_size = 6*W does not)
-    bs = BatchSize(max_sequence_size=2 * W,
-                   max_nodes_per_window=3 * W,
-                   max_sequences_per_poa=cfg.max_support + 1,
-                   max_pred_per_node=max(4, cfg.max_support + 1),
-                   max_aligned_per_node=max(4, (cfg.max_support + 1) // 2))
-    if windows_per_dispatch is None:
-        from ..core.bufferplan import plan_poa_batch
-        windows_per_dispatch = plan_poa_batch(
-            bs, POA_MEM_BUDGET).problems_per_batch
-    out: list[str] = []
+    core.bufferplan capacity arithmetic (the BatchBlock analog).
+
+    Jobs are bucketed by pow2 pileup depth: the POA scan runs
+    max_sequences_per_poa - 1 lockstep add steps whether or not a window's
+    sequences are exhausted, and the kernels' pred loops scale with
+    max_pred_per_node — so a 4-deep window dispatched at the max_support
+    shape costs ~4x its bucketed cost in scan length alone.  O(log S)
+    buckets bound the executable count; each bucket's caps follow the same
+    depth-scaling rule the single global shape used, applied to the
+    bucket's own depth."""
+    from ..core.bufferplan import plan_poa_batch
+    S_cap = cfg.max_support + 1
+    buckets: dict[int, list[int]] = {}
+    for i, seqs in enumerate(jobs):
+        d = min(max(4, 1 << (len(seqs) - 1).bit_length()), S_cap)
+        buckets.setdefault(d, []).append(i)
+
+    out: list[str | None] = [None] * len(jobs)
     n_failed = 0
 
-    def drain(chunk, batch):
+    def drain(sel, chunk, batch):
         nonlocal n_failed
         cons, _, stats = batch.get_consensus()   # materializes (blocks)
-        for seqs, c, st in zip(chunk, cons, stats):
+        for i, seqs, c, st in zip(sel, chunk, cons, stats):
             if st == StatusType.SUCCESS and c:
-                out.append(c)
+                out[i] = c
             else:
-                out.append(seqs[0])  # graceful degradation: keep backbone
+                out[i] = seqs[0]  # graceful degradation: keep backbone
                 n_failed += 1
 
     # Pipelined dispatches (the reference's multibatch/stream-overlap axis,
     # cudapoa/benchmarks/multibatch [U]): generate_poa only packs +
     # dispatches, so chunk i+1 is packed and in flight while chunk i
-    # computes; drain (the blocking device->host read) runs one behind.
+    # computes; drain (the blocking device->host read) runs one behind —
+    # including across bucket boundaries.
     pending = None
-    for start in range(0, len(jobs), windows_per_dispatch):
-        chunk = jobs[start:start + windows_per_dispatch]
-        batch = create_batch(batch_size=bs, max_poas=len(chunk), mesh=mesh,
-                             backend=cfg.poa_backend)
-        for seqs in chunk:
-            batch.add_poa_group(seqs)
-        batch.generate_poa()                     # async dispatch
-        if pending is not None:
-            drain(*pending)
-        pending = (chunk, batch)
+    for depth, idxs in sorted(buckets.items()):
+        bs = _polish_batch_size(cfg, depth)
+        wpd = (windows_per_dispatch if windows_per_dispatch is not None
+               else plan_poa_batch(bs, POA_MEM_BUDGET).problems_per_batch)
+        for start in range(0, len(idxs), wpd):
+            sel = idxs[start:start + wpd]
+            chunk = [jobs[i] for i in sel]
+            batch = create_batch(batch_size=bs, max_poas=len(chunk),
+                                 mesh=mesh, backend=cfg.poa_backend)
+            for seqs in chunk:
+                batch.add_poa_group(seqs)
+            batch.generate_poa()                 # async dispatch
+            if pending is not None:
+                drain(*pending)
+            pending = (sel, chunk, batch)
     if pending is not None:
         drain(*pending)
     return out, n_failed

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--quality", action="store_true",
                     help="also report edit-distance-to-truth before/after "
                          "(device Myers)")
+    ap.add_argument("--fenced", action="store_true",
+                    help="truthful per-stage splits: device-fence every "
+                         "trace_range (profiling only — slows the run)")
     args = ap.parse_args()
 
     import jax
@@ -92,23 +95,37 @@ def main():
                                             min_overlap_fraction=0.3,
                                             min_bases_per_residue=500), **kw)
 
-    t0 = time.perf_counter()
-    res = correct_reads(parser, cfg)     # compile run
-    cold = time.perf_counter() - t0
-    print(json.dumps({"label": "compile", "wall_s": round(cold, 1),
-                      "bases_per_s": round(total_bases / cold, 1)}),
-          flush=True)
-    best = cold
-    for _ in range(args.runs):
+    from claragenomicsanalysis_tpu.utils import profiling
+    if args.fenced:
+        profiling.set_fenced_timings(True)
+
+    def timed_run():
+        profiling.reset_stage_timings()
         t0 = time.perf_counter()
-        res = correct_reads(parser, cfg)
-        best = min(best, time.perf_counter() - t0)
+        r = correct_reads(parser, cfg)
+        dt = time.perf_counter() - t0
+        stages = {k: round(v["total_s"], 2)
+                  for k, v in profiling.stage_timings().items()
+                  if k.startswith(("correct.", "mapper.", "aligner."))}
+        return r, dt, stages
+
+    res, cold, cold_stages = timed_run()    # compile run
+    print(json.dumps({"label": "compile", "wall_s": round(cold, 1),
+                      "bases_per_s": round(total_bases / cold, 1),
+                      "fenced": args.fenced, "stages": cold_stages}),
+          flush=True)
+    best, best_stages = cold, cold_stages
+    for _ in range(args.runs):
+        res, dt, stages = timed_run()
+        if dt < best:
+            best, best_stages = dt, stages
     bases = sum(len(r.seq) for r in reads)
     print(json.dumps({
         "metric": f"read-correction bases/s (1 chip, "
                   f"{args.reads}x{args.read_len//1000}kb @{args.error_rate:.0%} err)",
         "value": round(bases / best, 1), "unit": "bases/s",
         "vs_baseline": None,
+        "fenced": args.fenced, "stages": best_stages,
         "detail": f"{res.n_polished}/{res.n_windows} windows polished, "
                   f"{best:.1f} s warm, window_length="
                   f"{cfg.window_length}, max_support={cfg.max_support}"}),

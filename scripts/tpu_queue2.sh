@@ -32,6 +32,7 @@ run map_fenced2      python scripts/bench_map_scale.py --fenced --runs 1
 run correct_w500     python scripts/bench_correct_scale.py --reads 400 --read-len 3000 --quality --window-length 500
 run correct_w128     python scripts/bench_correct_scale.py --reads 400 --read-len 3000 --quality --window-length 128
 run correct_w128s8   python scripts/bench_correct_scale.py --reads 400 --read-len 3000 --quality --window-length 128 --max-support 7
+run correct_fenced   python scripts/bench_correct_scale.py --reads 400 --read-len 3000 --window-length 128 --fenced
 run bench_all2       python scripts/bench_all.py
 run headline2        python bench.py
 echo "queue2 done ($(date +%H:%M:%S)); logs in bench_logs/${ts}_*.log"
