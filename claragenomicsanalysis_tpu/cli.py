@@ -334,7 +334,9 @@ def main(argv=None) -> int:
                         help="read correction: map + windowed POA polish")
     co.add_argument("input")
     _add_mapper_flags(co)
-    co.add_argument("--window-length", type=int, default=500)
+    co.add_argument("--window-length", type=int, default=128,
+                    help="backbone window (128 measured faster AND more "
+                         "accurate than 500, and fits the v2 POA kernels)")
     co.add_argument("--max-support", type=int, default=15,
                     help="supporting segments per POA window")
     co.add_argument("--band-radius", type=int, default=256,

@@ -134,7 +134,13 @@ class CorrectConfig:
     cudapoa/batch.hpp [U] is the POA surface it drives)."""
 
     mapper: MapperConfig = field(default_factory=MapperConfig)
-    window_length: int = 500          # backbone window size (bases)
+    # backbone window size (bases).  128 measured BOTH faster AND more
+    # accurate than the Racon-style 500 (CPU A/B, 60x1.5kb @5%: reduction
+    # 0.786 vs 0.609, wall 182 vs 528 s — bench_logs/quality_windowlen_
+    # cpu.log): short windows keep supports locally consistent, and only
+    # <=128-base windows fit the v2 lockstep POA kernels' VMEM planes at
+    # S=P=16 (docs/POA_V2.md), so 500 also forced the slow v1 polish path.
+    window_length: int = 128
     max_support: int = 15             # supporting segments per window
     min_matched_bases: int = 8        # matched pairs a support must place
     aligner_band_radius: int = 256    # per-overlap re-alignment band
