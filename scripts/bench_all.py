@@ -102,6 +102,52 @@ def bench_poa_large():
             "detail": f"{W} windows x {S} seqs x 256bp backbone"}
 
 
+def bench_poa_corr():
+    """The EXACT window shape the correction driver dispatches at its
+    defaults (window_length=128, max_support=15, full-depth bucket):
+    models/correct._polish_batch_size(cfg, 16).  This is the shape the
+    >=50 kb/s correction target runs through, measured at full 128-lane
+    occupancy (bench_poa_large's 1024-node windows model the retired
+    w500 shape, which never fit the v2 kernels' VMEM)."""
+    from claragenomicsanalysis_tpu.bench.harness import time_scanned
+    from claragenomicsanalysis_tpu.core.config import CorrectConfig, PoaScores
+    from claragenomicsanalysis_tpu.models.correct import _polish_batch_size
+    from claragenomicsanalysis_tpu.models.poa import Batch
+    from claragenomicsanalysis_tpu.utils.genomeutils import (
+        encode, generate_random_genome, mutate_sequence)
+
+    cfg = CorrectConfig()
+    S = cfg.max_support + 1
+    bs = _polish_batch_size(cfg, S)
+    program = Batch(batch_size=bs, scores=PoaScores())._window_program(False)
+    W, L = 128, bs.padded_seq
+    rng = np.random.default_rng(0)
+    datasets = []
+    for _ in range(2):
+        seqs = np.full((W, S, L), -1, np.int32)
+        weights = np.zeros((W, S, L), np.int32)
+        lens = np.zeros((W, S), np.int32)
+        n_seqs = np.full(W, S, np.int32)
+        for wi in range(W):
+            base = generate_random_genome(cfg.window_length, rng)
+            for si in range(S):
+                s = mutate_sequence(base, max(5, cfg.window_length // 20),
+                                    rng)[:bs.max_sequence_size]
+                seqs[wi, si, : len(s)] = encode(s)
+                weights[wi, si, : len(s)] = 1
+                lens[wi, si] = len(s)
+        datasets.append((seqs, weights, lens, n_seqs))
+
+    fn = lambda s, w, l, n: program(s, w, l, n)[5]  # noqa: E731
+    dt = time_scanned(fn, datasets, loops=1)
+    cells = W * (S - 1) * bs.padded_nodes * (bs.padded_seq + 1)
+    return {"metric": "POA DP cell-updates/s/chip (correction w128 pileups)",
+            "value": round(cells / dt / 1e9, 3), "unit": "Gcells/s",
+            "vs_baseline": None,
+            "detail": f"{W} windows x {S} seqs x {cfg.window_length}bp "
+                      f"backbone (product polish shape)"}
+
+
 def bench_mapper():
     from claragenomicsanalysis_tpu.core.config import MapperConfig
     from claragenomicsanalysis_tpu.io.fasta import FastaParser, FastaSequence
@@ -223,8 +269,8 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
-    for fn in (bench_poa, bench_poa_large, bench_mapper, bench_mapper_20mbp,
-               bench_pipeline, bench_correct):
+    for fn in (bench_poa, bench_poa_large, bench_poa_corr, bench_mapper,
+               bench_mapper_20mbp, bench_pipeline, bench_correct):
         # one retry after a pause: round 3 lost the pipeline number to a
         # transient axon remote-compile HTTP 500 that never got a 2nd try
         for attempt in (1, 2):
