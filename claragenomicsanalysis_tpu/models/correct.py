@@ -75,9 +75,12 @@ def _align_overlaps(overlaps: list[Overlap], parser: FastaParser,
     Spans are grouped by their OWN pow2 length bucket, not the part's
     global max: the Myers scoring pass is O(Lq*Lt), so one 5 kb overlap
     in a part must not pad every 512 bp span to 8192^2 cells (167x
-    waste).  O(log L) buckets keep the executable count bounded, and a
-    span's path is independent of its batch padding, so the output is
-    bit-identical to the single-bucket packing."""
+    waste).  O(log L) buckets keep the executable count bounded.  Each
+    span's path is deterministic and optimal for its bucket, but the
+    driver's Myers-vs-Hirschberg routing keys on the PADDED shape
+    (tb_bytes_per_problem), so a span near the routing boundary can take
+    the other (equally optimal, differently tie-broken) traceback path
+    than it would under the old single-bucket packing."""
     spans = []
     for o in overlaps:
         q = parser.get_sequence_by_id(o.query_read_id).seq[
@@ -234,6 +237,9 @@ def _polish_windows(jobs: list[list[str]], cfg: CorrectConfig, mesh,
             pending = (sel, chunk, batch)
     if pending is not None:
         drain(*pending)
+    # every job index must land in exactly one depth bucket; a future
+    # bucketing change must not silently join None into a corrected read
+    assert all(s is not None for s in out), "unpolished job slot"
     return out, n_failed
 
 

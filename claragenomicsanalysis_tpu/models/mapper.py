@@ -192,32 +192,46 @@ class Index:
         L = max(64, 1 << (Lmax - 1).bit_length())
         B0 = len(seqs)
         B = max(8, 1 << (B0 - 1).bit_length())
-        reads = np.full((B, L), -1, dtype=np.int8)
-        lens = np.zeros(B, dtype=np.int32)
-        for i, s in enumerate(seqs):
-            reads[i, : len(s)] = encode(s)
-            lens[i] = len(s)
         with trace_range("mapper.sketch"):
+            # sub-ranges split the stage the round-4 fenced profile could
+            # not (sketch was 15.45 s of 34.9 s at 100 Mbp, unsplit —
+            # bench_logs/0820_0621_map_fenced.log): host encode+pack vs
+            # tunnel transfer vs device kernel.
+            with trace_range("mapper.sketch.encode"):
+                reads = np.full((B, L), -1, dtype=np.int8)
+                lens = np.zeros(B, dtype=np.int32)
+                for i, s in enumerate(seqs):
+                    reads[i, : len(s)] = encode(s)
+                    lens[i] = len(s)
             # 2-bit packed transfer: 4x less through the ~20 MB/s tunnel
             # than the byte-per-base matrix; N positions ride as a sparse
             # pow2-padded list (OOB rows drop inside the kernel).  N-dense
             # chunks (assembly gaps can run >10% N) would make the 8-byte
             # index pairs BIGGER than the byte matrix — keep the plain
             # path when the sparse list stops paying (~9% of B*L).
-            packed, n_rows, n_cols = sketch.pack_reads(reads, lens)
+            with trace_range("mapper.sketch.pack"):
+                packed, n_rows, n_cols = sketch.pack_reads(reads, lens)
             if 8 * len(n_rows) > (B * L * 3) // 4:
-                rep, dirs, is_min = sketch.sketch_batch(
-                    jnp.asarray(reads), jnp.asarray(lens), k, w,
-                    cfg.hash_representations)
+                with trace_range("mapper.sketch.xfer"):
+                    reads_d = jnp.asarray(reads)
+                    lens_d = jnp.asarray(lens)
+                with trace_range("mapper.sketch.kernel"):
+                    rep, dirs, is_min = sketch.sketch_batch(
+                        reads_d, lens_d, k, w, cfg.hash_representations)
             else:
                 npad = max(8, 1 << (max(len(n_rows), 1) - 1).bit_length())
                 n_rows = np.pad(n_rows, (0, npad - len(n_rows)),
                                 constant_values=B)
                 n_cols = np.pad(n_cols, (0, npad - len(n_cols)))
-                rep, dirs, is_min = sketch.sketch_batch_packed(
-                    jnp.asarray(packed), jnp.asarray(n_rows),
-                    jnp.asarray(n_cols), jnp.asarray(lens), k, w,
-                    cfg.hash_representations)
+                with trace_range("mapper.sketch.xfer"):
+                    packed_d = jnp.asarray(packed)
+                    n_rows_d = jnp.asarray(n_rows)
+                    n_cols_d = jnp.asarray(n_cols)
+                    lens_d = jnp.asarray(lens)
+                with trace_range("mapper.sketch.kernel"):
+                    rep, dirs, is_min = sketch.sketch_batch_packed(
+                        packed_d, n_rows_d, n_cols_d, lens_d, k, w,
+                        cfg.hash_representations)
         frac = Fraction(cfg.filtering_parameter).limit_denominator(10**6)
         # packed side array fits when local read ids take < 2^15 and
         # positions < 2^16 (B/L are the pow2-padded shapes)

@@ -1193,19 +1193,48 @@ def _build_consensus_kernel(bs: BatchSize):
     MCS = round_up(MC, 8)
     BIG = 2**30
 
-    def kernel(orderT, npredT, predT, predwT, baseT, covT, rankT, meta,
-               codesT, covsT, meta_out, scoreT, psT, bpT, bufT):
+    def kernel(orderT, npredT, pred_in, predw_in, baseT, covT, rankT, meta,
+               codesT, covsT, meta_out, scoreT, psT, bpT, bufT, predS,
+               dma_sem):
         W = npredT.shape[-1]
+        # The (P, N, W) pred/predw planes stay in HBM (ANY space) and are
+        # DMA-seeded into scratch ONCE per grid step — the _wrap_add
+        # pattern.  As double-buffered VMEM inputs they cost 4 plane
+        # copies (2 x 2); as scratch they cost 2 (pred persists in predS,
+        # predw stages through psT, which is dead weight after the tie
+        # planes are derived below).  At the product correction-polish
+        # shape (P=16, N=384) that is the difference between 18.5 MiB
+        # (compile-time Mosaic OOM, bench_logs/0820_0621_correct_scale.log)
+        # and ~10.6 MiB.
+        g = pl.program_id(0)
+        lanes = pl.ds(g * W, W)
+        cp = pltpu.make_async_copy(pred_in.at[:, :, lanes], predS, dma_sem)
+        cp.start()
+        cp.wait()
+        cp = pltpu.make_async_copy(predw_in.at[:, :, lanes], psT, dma_sem)
+        cp.start()
+        cp.wait()
         iN = _siota(N, W)
         iMC = _siota(MCS, W)
         ncr = meta[pl.ds(0, 1)]
         act = iN < ncr
         slot_ok = [(p < npredT[...]) & act for p in range(P)]
-        w_p = [jnp.where(slot_ok[p], predwT[p], NEG) for p in range(P)]
+        w_p = [jnp.where(slot_ok[p], psT[p], NEG) for p in range(P)]
         wmax = w_p[0]
         for p in range(1, P):
             wmax = jnp.maximum(wmax, w_p[p])
-        tie1 = [slot_ok[p] & (w_p[p] == wmax) for p in range(P)]
+        # tie bits packed into int32 planes (bit p%32 of plane p//32 =
+        # "slot p achieves wmax") so P live bool planes don't sit in VMEM
+        # across the sweep loops; unpacked per-p at each use site.
+        ntie = (P + 31) // 32
+        tie_planes = [jnp.zeros((N, W), jnp.int32) for _ in range(ntie)]
+        for p in range(P):
+            tie_planes[p // 32] = tie_planes[p // 32] | jnp.where(
+                slot_ok[p] & (w_p[p] == wmax), 1 << (p % 32), 0)
+
+        def tie1(p):
+            return ((tie_planes[p // 32] >> (p % 32)) & 1) != 0
+
         has = npredT[...] > 0
 
         scoreT[...] = jnp.where(act & ~has, 0, NEG)
@@ -1227,7 +1256,7 @@ def _build_consensus_kernel(bs: BatchSize):
                 cand = wmax + sv
                 upd = jnp.zeros((N, W), jnp.bool_)
                 for p in range(P):
-                    upd = upd | (tie1[p] & (predT[p] == v_row))
+                    upd = upd | (tie1(p) & (predS[p] == v_row))
                 need = upd & has & (scoreT[...] < cand)
                 scoreT[...] = jnp.where(need, cand, scoreT[...])
                 return ch | jnp.any(need)
@@ -1246,7 +1275,7 @@ def _build_consensus_kernel(bs: BatchSize):
         def fill(v, _):
             sv = scoreT[pl.ds(v, 1)]
             for p in range(P):
-                psT[p] = jnp.where(tie1[p] & (predT[p] == v),
+                psT[p] = jnp.where(tie1(p) & (predS[p] == v),
                                    jnp.broadcast_to(sv, (N, W)), psT[p])
             return ()
 
@@ -1257,8 +1286,8 @@ def _build_consensus_kernel(bs: BatchSize):
         found = jnp.zeros((N, W), jnp.bool_)
         bp = jnp.full((N, W), -1, jnp.int32)
         for p in range(P):
-            hit = tie1[p] & (psT[p] == smax) & ~found
-            bp = jnp.where(hit, predT[p], bp)
+            hit = tie1(p) & (psT[p] == smax) & ~found
+            bp = jnp.where(hit, predS[p], bp)
             found = found | hit
         bpT[...] = jnp.where(act & has, bp, -1)
 
@@ -1358,10 +1387,13 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
                             lambda w: (0,) * len(shape) + (w,),
                             memory_space=pltpu.VMEM)
 
+    # pred/predw ride in HBM (ANY) and are kernel-DMA'd into scratch once:
+    # see the VMEM note in _build_consensus_kernel.
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
     codesT, covsT, meta_out = pl.pallas_call(
         kernel,
         grid=(Wp // LANES,),
-        in_specs=[spec(N), spec(N), spec(P, N), spec(P, N), spec(N),
+        in_specs=[spec(N), spec(N), any_spec, any_spec, spec(N),
                   spec(N), spec(N), spec(8)],
         out_specs=(spec(MCS), spec(MCS), spec(8)),
         out_shape=(jax.ShapeDtypeStruct((MCS, Wp), jnp.int32),
@@ -1370,7 +1402,9 @@ def _consensus_pallas(bs: BatchSize, interpret: bool, state, rank):
         scratch_shapes=[pltpu.VMEM((N, LANES), jnp.int32),
                         pltpu.VMEM((P, N, LANES), jnp.int32),
                         pltpu.VMEM((N, LANES), jnp.int32),
-                        pltpu.VMEM((MCS, LANES), jnp.int32)],
+                        pltpu.VMEM((MCS, LANES), jnp.int32),
+                        pltpu.VMEM((P, N, LANES), jnp.int32),
+                        pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(t2(order, N), t2(state.npred, N), t3(state.pred, -1), t3(state.predw),
       t2(state.base, N, -1), t2(state.cov, N), t2(rank, N), meta)
@@ -1539,12 +1573,20 @@ VMEM_BUDGET = 14 * 2**20
 
 def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
                         WPG: int = 8) -> int:
-    """Peak VMEM one grid step of the fattest v2 kernel needs.  The add
-    kernel holds the graph state planes ONCE (inputs stay in HBM and are
-    DMA-seeded into the aliased VMEM output blocks) plus pn/pp, seq/w,
-    targ/sj scratch and the path plane; the NW kernel holds two
-    (N+3, WPG, L1) score/moves tensors.  models/poa routes configs that
-    cannot fit the ~14 MiB/core budget away from this backend."""
+    """Peak VMEM one grid step of the fattest v2 kernel needs, modeling
+    ALL FIVE kernels.  (The round-4 version returned max(add, nwtb) only;
+    the unmodeled consensus kernel OOM'd at Mosaic compile time on the
+    product w128/depth-16 correction shape — 18.50 MiB vs the 16 MiB
+    scoped limit, bench_logs/0820_0621_correct_scale.log — so `cli
+    correct` crashed on chip at default settings.  Same estimator mistake
+    as the diag-NW one fixed in cbaba98.)
+
+    Accounting rules, matched by tests/test_poa_pallas2.py's structural
+    bound test: grid-indexed VMEM in/out blocks are double-buffered by
+    the Pallas pipeline (x2); scratch and ANY-space (HBM) operands are
+    single/zero; SMEM is a separate budget.  models/poa routes configs
+    whose estimate exceeds the ~14 MiB/core budget away from this
+    backend (WPG 16 -> 8 -> v1/XLA)."""
     N = round_up(bs.padded_nodes, 8)
     P = bs.max_pred_per_node
     A = bs.max_aligned_per_node
@@ -1552,12 +1594,33 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
     L1 = round_up(L + 1, 128)
     L128 = round_up(L, 128)
     TLS = round_up(N + L, 128)
+    MCS = round_up(bs.max_consensus_size, 8)
+    NL = round_up(N + 1, 8)
+    N3 = round_up(N + 3, 8)
     W = 128
-    add_bytes = 4 * W * (N * (5 + 2 * P + A)             # planes, one copy
-                         + 2 * L128 + 4 * TLS + 16       # seq/w, pn/pp+scr
-                         + (L128 if msa else 0))         # path_row plane
-    nwtb_bytes = 2 * 4 * (N + 3) * WPG * L1              # scores + moves
-    return max(add_bytes, nwtb_bytes)
+    # add: state planes held ONCE (ANY inputs DMA-seeded into the aliased
+    # output blocks, which pipeline single-buffered) + dbuf pn/pp/seq/w/
+    # meta in blocks + dbuf meta_out/paths out blocks + targ/sj scratch
+    add_bytes = 4 * W * (N * (5 + 2 * P + A)
+                         + 6 * TLS + 6 * L128 + 32)
+    # nwtb: scores + moves scratch volumes + dbuf seq-in and pn/pp-out
+    nwtb_bytes = 4 * (2 * N3 * WPG * L1
+                      + 2 * WPG * L1
+                      + 2 * 2 * WPG * TLS)
+    # topsort: dbuf(visit/prev/npred (N) x3 + pred (P,N) + meta + lvl/
+    # order/rank (N) x3 + meta_out) + lvlE/cnt/off scratch
+    topsort_bytes = 4 * W * (2 * (6 * N + P * N + 16)
+                             + N + 2 * NL)
+    # consensus: dbuf(order/npred/base/cov/rank (N) x5 + meta + codes/
+    # covs (MCS) x2 + meta_out) + score/ps/bp/buf/predS scratch (pred and
+    # predw are ANY-space, DMA-staged through predS/psT)
+    cons_bytes = 4 * W * (2 * (5 * N + 2 * MCS + 16)
+                          + 2 * N + 2 * P * N + MCS)
+    # msa: dbuf(order/npred/nalig/base (N) x4 + pred (P,N) + alig (A,N)
+    # + paths (L) + meta + rows (N) + meta_out) + col scratch
+    msa_bytes = (4 * W * (2 * (5 * N + P * N + A * N + L + 16) + N)
+                 if msa else 0)
+    return max(add_bytes, nwtb_bytes, topsort_bytes, cons_bytes, msa_bytes)
 
 
 # --------------------------------------------------------------------------

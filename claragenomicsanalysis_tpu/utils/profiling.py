@@ -19,14 +19,30 @@ _STAGE_COUNTS: dict[str, int] = defaultdict(int)
 #: 97% of device time" misattribution, bench_logs_queue_r3.log:87).
 _FENCED = False
 _FENCE_SALT = 0
+#: measured cost of one fence round trip on an idle device (seconds);
+#: subtracted from each fenced range so stage sums don't exceed the outer
+#: wall (round-4 finding: the 100 Mbp fenced run reported device_stage_s
+#: 34.91 > wall_s 34.16, bench_logs/0820_0621_map_fenced.log)
+_FENCE_RT = 0.0
 
 
 def set_fenced_timings(on: bool) -> None:
     """Profiling-only knob (scripts/bench_map_scale.py --fenced).  Costs
     one tunnel round trip (~30 ms) per range, so never leave it on in
-    product runs."""
-    global _FENCED
+    product runs.  On enable, calibrates the round-trip cost on the idle
+    device (median of 5) so each range can subtract its own exit fence."""
+    global _FENCED, _FENCE_RT
     _FENCED = bool(on)
+    if _FENCED:
+        device_fence()          # drain anything queued before calibrating
+        costs = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            device_fence()
+            costs.append(time.perf_counter() - t0)
+        _FENCE_RT = sorted(costs)[len(costs) // 2]
+    else:
+        _FENCE_RT = 0.0
 
 
 def device_fence() -> None:
@@ -49,7 +65,11 @@ def _fence_step(x):
 
 @contextlib.contextmanager
 def trace_range(name: str):
-    """NVTX-range analog: labels the XLA profile AND accumulates wall time."""
+    """NVTX-range analog: labels the XLA profile AND accumulates wall time.
+    Fenced mode: the entry fence charges queued-up work to WHOEVER queued
+    it (before t0); the exit fence waits for this range's own device work;
+    the fence's pure round-trip cost (calibrated at enable) is subtracted
+    so stage sums stay <= the outer wall."""
     if _FENCED:
         device_fence()
     t0 = time.perf_counter()
@@ -58,6 +78,8 @@ def trace_range(name: str):
         if _FENCED:
             device_fence()
     dt = time.perf_counter() - t0
+    if _FENCED:
+        dt = max(0.0, dt - _FENCE_RT)
     _STAGE_TOTALS[name] += dt
     _STAGE_COUNTS[name] += 1
 
@@ -67,6 +89,17 @@ def stage_timings() -> dict[str, dict[str, float]]:
         k: {"total_s": _STAGE_TOTALS[k], "count": _STAGE_COUNTS[k]}
         for k in sorted(_STAGE_TOTALS)
     }
+
+
+def toplevel_total_s(timings: dict[str, dict[str, float]],
+                     prefix: str = "") -> float:
+    """Sum of the TOP-LEVEL ranges only: a range nested under another
+    recorded range ('mapper.match.count' under 'mapper.match') is already
+    inside its parent's total — summing every key double-counts it (the
+    other half of the round-4 device_stage_s > wall_s anomaly)."""
+    keys = [k for k in timings if k.startswith(prefix)]
+    return sum(timings[k]["total_s"] for k in keys
+               if not any(k != p and k.startswith(p + ".") for p in keys))
 
 
 def reset_stage_timings() -> None:

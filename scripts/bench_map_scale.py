@@ -23,7 +23,8 @@ from claragenomicsanalysis_tpu.simulators import (NoisyReadSimulator,
                                                   PoissonGenomeSimulator)
 from claragenomicsanalysis_tpu.utils.profiling import (reset_stage_timings,
                                                        set_fenced_timings,
-                                                       stage_timings)
+                                                       stage_timings,
+                                                       toplevel_total_s)
 
 
 def main():
@@ -70,8 +71,9 @@ def main():
         res = map_all_vs_all(parser, cfg)
         wall = time.perf_counter() - t0
         st = stage_timings()
-        device_s = sum(v["total_s"] for k, v in st.items()
-                       if k.startswith("mapper."))
+        # top-level ranges only: nested child ranges are inside their
+        # parent's total and must not be double-counted
+        device_s = toplevel_total_s(st, "mapper.")
         label = "compile" if run == 0 else f"run {run}"
         line = {
             "label": label, "fenced": args.fenced, "wall_s": round(wall, 2),
@@ -83,6 +85,9 @@ def main():
             "host_frac": round((wall - device_s) / wall, 3),
             "stages": {k: round(v["total_s"], 2) for k, v in st.items()},
         }
+        if args.fenced and device_s > wall:
+            line["accounting_anomaly"] = (
+                f"fenced stage sum {device_s:.2f} > wall {wall:.2f}")
         print(json.dumps(line), flush=True)
         if run > 0 and (best is None or wall < best["wall_s"]):
             best = line

@@ -18,25 +18,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _try(name, axis):
+#: substrings that mean the TUNNEL/compile-helper failed, not Mosaic: the
+#: attempt proved nothing and must be retried (round-4 lesson: an axon
+#: HTTP 500 was logged as "REJECTED" and read as "still blocked",
+#: bench_logs/0820_0621_roll16_probe.log)
+_INFRA_MARKERS = ("http", "unavailable", "deadline", "connection",
+                  "tpu_compile_helper", "socket", "timed out", "internal:")
+
+
+def _is_infra(msg: str) -> bool:
+    m = msg.lower()
+    return any(k in m for k in _INFRA_MARKERS) and "mosaic" not in m
+
+
+def _try(name, axis, retries=3):
     def kernel(x_ref, o_ref):
         o_ref[:] = pltpu.roll(x_ref[:], 1, axis)
 
     x = jnp.arange(8 * 128, dtype=jnp.int16).reshape(8, 128)
-    try:
-        out = pl.pallas_call(
-            kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16),
-        )(x)
-        out.block_until_ready()
-        import numpy as np
-        want = np.roll(np.asarray(x), 1, axis)
-        ok = bool((np.asarray(out) == want).all())
-        print(f"{name}: COMPILES, correct={ok}")
-        return ok
-    except Exception as e:  # noqa: BLE001 — report the Mosaic error verbatim
-        msg = str(e).splitlines()[0][:160]
-        print(f"{name}: REJECTED -> {msg}")
-        return False
+    for attempt in range(retries):
+        try:
+            out = pl.pallas_call(
+                kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.int16),
+            )(x)
+            out.block_until_ready()
+            import numpy as np
+            want = np.roll(np.asarray(x), 1, axis)
+            ok = bool((np.asarray(out) == want).all())
+            print(f"{name}: COMPILES, correct={ok}")
+            return ok
+        except Exception as e:  # noqa: BLE001 — report the error verbatim
+            msg = str(e).splitlines()[0][:160]
+            if _is_infra(msg):
+                # transient infra failure — say so, retry, never record
+                # it as an algorithmic rejection
+                print(f"{name}: INFRA-RETRY (attempt {attempt + 1}/"
+                      f"{retries}) -> {msg}")
+                import time
+                time.sleep(20 * (attempt + 1))
+                continue
+            print(f"{name}: REJECTED -> {msg}")
+            return False
+    print(f"{name}: INCONCLUSIVE — all {retries} attempts were infra "
+          "failures; probe proved nothing this run")
+    return False
 
 
 def main():
