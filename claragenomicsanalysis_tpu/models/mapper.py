@@ -470,6 +470,18 @@ class Overlapper:
         pack2: caller asserts read ids < 2^15 and positions < 2^16 (see
         _pack2_ok) — the chain sort then runs 2 uint32 operands instead
         of 4 int32 ones."""
+        return Overlapper.compact_materialize(
+            Overlapper.get_overlap_rows_dispatch(
+                anchors, cfg, pack2=pack2, q_base=q_base, t_base=t_base))
+
+    @staticmethod
+    def get_overlap_rows_dispatch(anchors: dict, cfg: MapperConfig,
+                                  pack2: bool = False, q_base: int = 0,
+                                  t_base: int = 0):
+        """Async half of get_overlap_rows: dispatch chain + compaction,
+        return a pending handle for Overlapper.compact_materialize.  The
+        pair loops sync each pair ONE PAIR BEHIND so the download overlaps
+        the next pair's device work."""
         frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
         with trace_range("mapper.chain"):
             out = map_ops.chain_anchors(
@@ -481,18 +493,17 @@ class Overlapper:
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap, pack2=pack2,
                 q_base=q_base, t_base=t_base)
-        return Overlapper.compact_rows(out)
+        return Overlapper.compact_dispatch(out)
 
     @staticmethod
-    def compact_rows(out: dict, mesh=None) -> np.ndarray:
-        """Compact a masked chain-output dict (device-resident) to the
-        canonical (8, n_valid) host array — one small download.
-
-        `mesh`: required when `out` spans multiple PROCESSES (a routed
-        multi-host run): the compaction then pins replicated out-shardings
-        so every host can materialize the result (SURVEY §5.8's
-        deterministic per-host merge — each host holds the identical full
-        row set, so downstream PAF output is host-independent)."""
+    def compact_dispatch(out: dict, mesh=None):
+        """Dispatch the compaction WITHOUT syncing; returns an opaque
+        pending handle for compact_materialize.  The split lets the
+        pair loop pipeline the blocking count+download one pair behind
+        the next pair's device work — at Gbp scale (~1156 chunk pairs)
+        the per-pair sync serialization, not the kernels, dominated the
+        wall (watch.log: 745 s warm with 'compact' soaking 633 s of
+        first-sync roll-up)."""
         import jax
         repl = None
         if mesh is not None and jax.process_count() > 1:
@@ -506,11 +517,24 @@ class Overlapper:
                 fn = (map_ops.compact_overlaps if repl is None else
                       jax.jit(map_ops.compact_overlaps, out_shardings=repl))
                 stacked, nv_d = fn(out)
-                nv = int(nv_d)
-            else:
-                # large capacity: index-sort + gathers of just the valid
-                # bucket beats dragging 9 cap-sized operands through a sort
-                nv = int(map_ops.count_valid(out))
+                return ("sorted", stacked, nv_d, None, None)
+            # large capacity: index-sort + gathers of just the valid
+            # bucket beats dragging 9 cap-sized operands through a sort;
+            # the count sync + gather dispatch happen at materialize time
+            # (one pair later), still overlapped with the NEXT pair
+            nv_d = map_ops.count_valid(out)
+            return ("gather", None, nv_d, out, repl)
+
+    @staticmethod
+    def compact_materialize(pending) -> np.ndarray:
+        """Sync + download a compact_dispatch handle to the canonical
+        (8, n_valid) host rows."""
+        import jax
+        kind, stacked, nv_d, out, repl = pending
+        with trace_range("mapper.compact"):
+            nv = int(nv_d)
+            if kind == "gather":
+                C = out["valid"].shape[0]
                 cap_o = min(C, max(128, 1 << (max(nv, 1) - 1).bit_length()))
                 if repl is None:
                     stacked = map_ops.compact_overlaps_gather(out, cap_o)
@@ -520,6 +544,19 @@ class Overlapper:
                         out_shardings=repl)(out)
             rows = np.asarray(stacked[:, :nv])        # ONE small download
         return rows[:, _canonical_order(rows)]
+
+    @staticmethod
+    def compact_rows(out: dict, mesh=None) -> np.ndarray:
+        """Compact a masked chain-output dict (device-resident) to the
+        canonical (8, n_valid) host array — one small download.
+
+        `mesh`: required when `out` spans multiple PROCESSES (a routed
+        multi-host run): the compaction then pins replicated out-shardings
+        so every host can materialize the result (SURVEY §5.8's
+        deterministic per-host merge — each host holds the identical full
+        row set, so downstream PAF output is host-independent)."""
+        return Overlapper.compact_materialize(
+            Overlapper.compact_dispatch(out, mesh=mesh))
 
     @staticmethod
     def compact_rows_local(out: dict, mesh) -> dict:
@@ -810,8 +847,12 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     # touched by the single producer thread.
     all_rows = []
     cap_est: int | None = None     # ratcheting capacity across pairs
+    pending = None                 # previous pair's compaction, not yet synced
     for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
         if mesh is not None and mesh.shape.get("rep", 1) > 1:
+            if pending is not None:
+                all_rows.append(Overlapper.compact_materialize(pending))
+                pending = None
             rows, st = _mesh_overlap_rows(
                 qidx, tidx, cfg, mesh, max_anchors,
                 _pack2_ok_global(qidx, tidx))
@@ -823,19 +864,26 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
         # count round trip — a truncated hint (rare) redoes that pair exact
         matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                          cap_hint=cap_est)
-        rows = Overlapper.get_overlap_rows(
+        cur = Overlapper.get_overlap_rows_dispatch(
             matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
             q_base=qidx.first_read_id, t_base=tidx.first_read_id)
         if matcher.truncated:
             matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                              cap=max_anchors)
-            rows = Overlapper.get_overlap_rows(
+            cur = Overlapper.get_overlap_rows_dispatch(
                 matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
                 q_base=qidx.first_read_id, t_base=tidx.first_read_id)
         cap_est = max(cap_est or 0,
                       1 << (max(matcher.n_anchors, 1) - 1).bit_length())
         statuses.append(matcher.status)
-        all_rows.append(rows)
+        # pipeline: sync the PREVIOUS pair's compaction while this pair's
+        # chain runs — the per-pair download round trip cost the Gbp run
+        # its wall (1156 serialized pairs; watch.log)
+        if pending is not None:
+            all_rows.append(Overlapper.compact_materialize(pending))
+        pending = cur
+    if pending is not None:
+        all_rows.append(Overlapper.compact_materialize(pending))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     rows = rows[:, _canonical_order(rows)]
@@ -864,11 +912,15 @@ def map_query_vs_target(query_parser: FastaParser,
     statuses: list[StatusType] = []
     all_rows = []
     cap_est: int | None = None     # ratcheting capacity (see map_all_vs_all)
+    pending = None                 # one-behind compaction (see map_all_vs_all)
     for (qf, ql) in qchunks:
         qidx = cache.get_or_create(query_parser, qf, ql, cfg)
         for (tf, tl) in tchunks:
             tidx = cache.get_or_create(target_parser, tf, tl, cfg)
             if mesh is not None and mesh.shape.get("rep", 1) > 1:
+                if pending is not None:
+                    all_rows.append(Overlapper.compact_materialize(pending))
+                    pending = None
                 rows, st = _mesh_overlap_rows(
                     qidx, tidx, cfg, mesh, max_anchors,
                     _pack2_ok_global(qidx, tidx))
@@ -878,19 +930,23 @@ def map_query_vs_target(query_parser: FastaParser,
             matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                              cap=max_anchors,
                                              cap_hint=cap_est)
-            rows = Overlapper.get_overlap_rows(
+            cur = Overlapper.get_overlap_rows_dispatch(
                 matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
                 q_base=qidx.first_read_id, t_base=tidx.first_read_id)
             if matcher.truncated:
                 matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                                  cap=max_anchors)
-                rows = Overlapper.get_overlap_rows(
+                cur = Overlapper.get_overlap_rows_dispatch(
                     matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
                     q_base=qidx.first_read_id, t_base=tidx.first_read_id)
             cap_est = max(cap_est or 0,
                           1 << (max(matcher.n_anchors, 1) - 1).bit_length())
             statuses.append(matcher.status)
-            all_rows.append(rows)
+            if pending is not None:
+                all_rows.append(Overlapper.compact_materialize(pending))
+            pending = cur
+    if pending is not None:
+        all_rows.append(Overlapper.compact_materialize(pending))
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     rows = rows[:, _canonical_order(rows)]
