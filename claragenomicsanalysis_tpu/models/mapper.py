@@ -209,9 +209,17 @@ class Index:
             # chunks (assembly gaps can run >10% N) would make the 8-byte
             # index pairs BIGGER than the byte matrix — keep the plain
             # path when the sparse list stops paying (~9% of B*L).
+            # Pack (and ship) only the USED rows/cols in finer 256/128-
+            # multiple buckets — the pow2 (B, L) shape is ~60 % padding at
+            # 10 kb reads; the device re-pads (zeros == clipped 'A', and
+            # the kernel's pos < n mask invalidates every tail k-mer).
+            B0r = min(B, -(-max(B0, 1) // 256) * 256)
+            C4 = (int(lens.max()) + 3) // 4 if B0 else 1
+            C4r = min(L // 4, -(-max(C4, 1) // 128) * 128)
             with trace_range("mapper.sketch.pack"):
-                packed, n_rows, n_cols = sketch.pack_reads(reads, lens)
-            if 8 * len(n_rows) > (B * L * 3) // 4:
+                packed, n_rows, n_cols = sketch.pack_reads(
+                    reads[:B0r, :C4r * 4], lens[:B0r])
+            if 8 * len(n_rows) > (B0r * C4r * 3):
                 with trace_range("mapper.sketch.xfer"):
                     reads_d = jnp.asarray(reads)
                     lens_d = jnp.asarray(lens)
@@ -225,6 +233,9 @@ class Index:
                 n_cols = np.pad(n_cols, (0, npad - len(n_cols)))
                 with trace_range("mapper.sketch.xfer"):
                     packed_d = jnp.asarray(packed)
+                    if packed.shape != (B, L // 4):
+                        packed_d = jnp.pad(
+                            packed_d, ((0, B - B0r), (0, L // 4 - C4r)))
                     n_rows_d = jnp.asarray(n_rows)
                     n_cols_d = jnp.asarray(n_cols)
                     lens_d = jnp.asarray(lens)
@@ -848,7 +859,12 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     all_rows = []
     cap_est: int | None = None     # ratcheting capacity across pairs
     pending = None                 # previous pair's compaction, not yet synced
-    for qidx, tidx in prefetch_map(build_pair, pairs, depth=2):
+    from ..utils.profiling import is_fenced
+    # fenced profiling: run SERIAL — the prefetch worker's fenced ranges
+    # would otherwise absorb this thread's device time (see is_fenced)
+    pair_iter = (map(build_pair, pairs) if is_fenced()
+                 else prefetch_map(build_pair, pairs, depth=2))
+    for qidx, tidx in pair_iter:
         if mesh is not None and mesh.shape.get("rep", 1) > 1:
             if pending is not None:
                 all_rows.append(Overlapper.compact_materialize(pending))

@@ -45,6 +45,15 @@ def set_fenced_timings(on: bool) -> None:
         _FENCE_RT = 0.0
 
 
+def is_fenced() -> bool:
+    """True while fenced (truthful-split) timing is on.  Concurrency-
+    hiding paths (prefetch threads, one-behind pipelines) should run
+    SERIAL under it: a fence waits for GLOBAL device quiescence, so a
+    worker thread's range otherwise absorbs the main thread's device time
+    (the round-5 'pack 20.05 s' artifact, 0820_0947_map_fenced2.log)."""
+    return _FENCED
+
+
 def device_fence() -> None:
     """Wait until every dispatch enqueued so far has executed.  Through
     the axon tunnel `block_until_ready` returns before execution (see

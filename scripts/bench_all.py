@@ -195,14 +195,21 @@ def bench_mapper_20mbp():
         FastaSequence(r.name, r.seq) for r in reads])
     cfg = MapperConfig(kmer_size=15, window_size=15)
     map_all_vs_all(parser, cfg)
-    t0 = time.perf_counter()
-    res = map_all_vs_all(parser, cfg)
-    dt = time.perf_counter() - t0
+    # best-of-3: the r3 record (7.71) vs the r4 queue (3.55) disagreed by
+    # 2.2x on single warm runs of this exact config — tunnel latency noise
+    # makes one-shot numbers untrustworthy here (VERDICT r4 Next #3)
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = map_all_vs_all(parser, cfg)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
     bases = sum(len(r.seq) for r in reads)
     return {"metric": "all-vs-all mapping Mbp/s (1 chip, 2000x10kb reads)",
             "value": round(bases / dt / 1e6, 2), "unit": "Mbp/s",
             "vs_baseline": None,
-            "detail": f"{len(res.overlaps)} overlaps, {dt:.1f} s warm, "
+            "detail": f"{len(res.overlaps)} overlaps, {dt:.1f} s warm "
+                      f"best-of-3 {[round(x, 1) for x in dts]}, "
                       f"{len(res.overlaps)/dt:.0f} overlaps/s"}
 
 

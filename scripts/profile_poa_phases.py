@@ -171,13 +171,32 @@ def main():
             jnp.ones((seq.shape[0],), jnp.bool_))[0]
 
     for name, fn in phases.items():
-        try:
-            dt = time_scanned(unflat(fn), datasets, loops=2)
-            print(json.dumps({"phase": name, "ms": round(dt * 1e3, 3)}),
-                  flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"phase": name, "error": str(e)[:200]}),
-                  flush=True)
+        for attempt in range(3):
+            try:
+                dt = time_scanned(unflat(fn), datasets, loops=2)
+                print(json.dumps({"phase": name, "ms": round(dt * 1e3, 3)}),
+                      flush=True)
+                break
+            except Exception as e:  # noqa: BLE001
+                # classify: a compile-helper 500 / tunnel drop proves
+                # nothing about the kernel (retry); a Mosaic/VMEM error is
+                # deterministic (record the FULL text — the r5 queue's
+                # truncated 200-char error was unclassifiable)
+                msg = str(e)
+                low = msg.lower()
+                infra = (any(k in low for k in
+                             ("http", "unavailable", "deadline",
+                              "connection", "tpu_compile_helper", "socket",
+                              "internal:"))
+                         and "mosaic" not in low and "vmem" not in low)
+                kind = "infra-retry" if infra and attempt < 2 else (
+                    "infra-gave-up" if infra else "error")
+                print(json.dumps({"phase": name, kind: msg[:2000]}),
+                      flush=True)
+                if not infra:
+                    break
+                import time as _t
+                _t.sleep(30 * (attempt + 1))
 
 
 if __name__ == "__main__":
