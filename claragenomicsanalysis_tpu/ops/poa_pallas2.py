@@ -1218,11 +1218,19 @@ def _build_consensus_kernel(bs: BatchSize):
         iMC = _siota(MCS, W)
         ncr = meta[pl.ds(0, 1)]
         act = iN < ncr
-        slot_ok = [(p < npredT[...]) & act for p in range(P)]
-        w_p = [jnp.where(slot_ok[p], psT[p], NEG) for p in range(P)]
-        wmax = w_p[0]
+        npv = npredT[...]
+
+        def slot_w(p):
+            # weight of pred slot p, NEG where the slot is empty/inactive
+            # — recomputed inline at each use so no P-plane list stays
+            # live (16 simultaneous (N, W) planes cost ~3.1 MiB of Mosaic
+            # stack at the product polish shape and pushed the kernel to
+            # 16.32 MiB vs the 16 MiB limit, 0820_0947_correct_w128.log)
+            return jnp.where((p < npv) & act, psT[p], NEG)
+
+        wmax = slot_w(0)
         for p in range(1, P):
-            wmax = jnp.maximum(wmax, w_p[p])
+            wmax = jnp.maximum(wmax, slot_w(p))
         # tie bits packed into int32 planes (bit p%32 of plane p//32 =
         # "slot p achieves wmax") so P live bool planes don't sit in VMEM
         # across the sweep loops; unpacked per-p at each use site.
@@ -1230,12 +1238,12 @@ def _build_consensus_kernel(bs: BatchSize):
         tie_planes = [jnp.zeros((N, W), jnp.int32) for _ in range(ntie)]
         for p in range(P):
             tie_planes[p // 32] = tie_planes[p // 32] | jnp.where(
-                slot_ok[p] & (w_p[p] == wmax), 1 << (p % 32), 0)
+                slot_w(p) == wmax, 1 << (p % 32), 0)
 
         def tie1(p):
             return ((tie_planes[p // 32] >> (p % 32)) & 1) != 0
 
-        has = npredT[...] > 0
+        has = npv > 0
 
         scoreT[...] = jnp.where(act & ~has, 0, NEG)
 
@@ -1613,9 +1621,12 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
                              + N + 2 * NL)
     # consensus: dbuf(order/npred/base/cov/rank (N) x5 + meta + codes/
     # covs (MCS) x2 + meta_out) + score/ps/bp/buf/predS scratch (pred and
-    # predw are ANY-space, DMA-staged through predS/psT)
+    # predw are ANY-space, DMA-staged through predS/psT) + ~7 live value
+    # planes (wmax/tie/has/act + loop temporaries) that Mosaic keeps on
+    # the scoped stack beyond the spec-visible blocks
     cons_bytes = 4 * W * (2 * (5 * N + 2 * MCS + 16)
-                          + 2 * N + 2 * P * N + MCS)
+                          + 2 * N + 2 * P * N + MCS
+                          + (7 + (P + 31) // 32) * N)
     # msa: dbuf(order/npred/nalig/base (N) x4 + pred (P,N) + alig (A,N)
     # + paths (L) + meta + rows (N) + meta_out) + col scratch
     msa_bytes = (4 * W * (2 * (5 * N + P * N + A * N + L + 16) + N)

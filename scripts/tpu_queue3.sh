@@ -42,6 +42,7 @@ run map_fenced_split python scripts/bench_map_scale.py --fenced --runs 1
 run map_scale3       python scripts/bench_map_scale.py
 run correct_full     python scripts/bench_correct_scale.py
 run correct_full_fenced python scripts/bench_correct_scale.py --runs 0 --fenced
+run poa_phases3      python scripts/profile_poa_phases.py --pileup
 run headline3        python bench.py
 run bench_all3       python scripts/bench_all.py
 run map_gbp2         python scripts/bench_map_scale.py --mbp 1000 --runs 1
