@@ -224,6 +224,26 @@ class Batch:
                         # batch of 8 windows must not pay WPG=16's 2x
                         # padding (shard_map slices can also hand us 8)
                         w = seqs.shape[0]
+                        if w > 128:
+                            # dispatch in 128-window (one-lane-block)
+                            # slices: Mosaic double-buffers grid-indexed
+                            # blocks only when grid > 1, so a 2048-window
+                            # dispatch (grid 16) holds TWO copies of the
+                            # add/consensus planes and blows the 16 MiB
+                            # scoped limit at product polish shapes
+                            # (19.50 MiB, 0820_0947_correct_fenced.log);
+                            # at grid=1 every kernel holds one copy.
+                            # Slices dispatch back-to-back (async), and
+                            # one (128, ...) executable serves all.
+                            import jax.numpy as jnp
+                            outs = [
+                                _p2(seqs[s:s + 128], weights[s:s + 128],
+                                    lens[s:s + 128], n_seqs[s:s + 128],
+                                    WPG=_wpg)
+                                for s in range(0, w, 128)]
+                            return tuple(
+                                jnp.concatenate(parts, axis=0)
+                                for parts in zip(*outs))
                         return _p2(seqs, weights, lens, n_seqs,
                                    WPG=_wpg if w % _wpg == 0 else 8)
                     return program

@@ -1589,12 +1589,19 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
     correct` crashed on chip at default settings.  Same estimator mistake
     as the diag-NW one fixed in cbaba98.)
 
-    Accounting rules, matched by tests/test_poa_pallas2.py's structural
-    bound test: grid-indexed VMEM in/out blocks are double-buffered by
-    the Pallas pipeline (x2); scratch and ANY-space (HBM) operands are
-    single/zero; SMEM is a separate budget.  models/poa routes configs
-    whose estimate exceeds the ~14 MiB/core budget away from this
-    backend (WPG 16 -> 8 -> v1/XLA)."""
+    Accounting rules, matched by tests/test_vmem_estimator.py's
+    structural bound test and calibrated against four measured Mosaic
+    allocations (18.50/16.32/19.50 MiB OOMs at grid 32/16/16; grid=1
+    profiler runs that fit): at grid == 1 every VMEM block is held ONCE;
+    at grid > 1 the Pallas pipeline double-buffers EVERY grid-indexed
+    VMEM in/out block (input_output_aliases included).  models/poa
+    therefore dispatches the lane-axis kernels in 128-window slices
+    (grid=1); only the nwtb kernel (grid Wp/WPG) and MSA (grid (1, S))
+    still pay the x2.  Scratch is single; ANY-space (HBM) operands are
+    zero; SMEM is a separate budget.  Live value planes Mosaic keeps on
+    the scoped stack beyond the spec-visible blocks get modeled
+    allowances.  models/poa routes configs whose estimate exceeds the
+    ~14 MiB/core budget away from this backend (WPG 16 -> 8 -> v1/XLA)."""
     N = round_up(bs.padded_nodes, 8)
     P = bs.max_pred_per_node
     A = bs.max_aligned_per_node
@@ -1606,29 +1613,31 @@ def vmem_bytes_estimate(bs: BatchSize, msa: bool = False,
     NL = round_up(N + 1, 8)
     N3 = round_up(N + 3, 8)
     W = 128
-    # add: state planes held ONCE (ANY inputs DMA-seeded into the aliased
-    # output blocks, which pipeline single-buffered) + dbuf pn/pp/seq/w/
-    # meta in blocks + dbuf meta_out/paths out blocks + targ/sj scratch
+    # add (grid=1): state planes ONCE (ANY ins DMA-seeded into aliased
+    # out blocks) + pn/pp/seq/w/meta ins + meta_out/paths outs + targ/sj
+    # scratch + ~4 live value planes (pass temporaries)
     add_bytes = 4 * W * (N * (5 + 2 * P + A)
-                         + 6 * TLS + 6 * L128 + 32)
-    # nwtb: scores + moves scratch volumes + dbuf seq-in and pn/pp-out
+                         + 4 * TLS + 3 * L128 + 24
+                         + 4 * N)
+    # nwtb (grid Wp/WPG > 1): scores + moves scratch volumes + dbuf
+    # seq-in and pn/pp-out blocks
     nwtb_bytes = 4 * (2 * N3 * WPG * L1
                       + 2 * WPG * L1
                       + 2 * 2 * WPG * TLS)
-    # topsort: dbuf(visit/prev/npred (N) x3 + pred (P,N) + meta + lvl/
-    # order/rank (N) x3 + meta_out) + lvlE/cnt/off scratch
-    topsort_bytes = 4 * W * (2 * (6 * N + P * N + 16)
-                             + N + 2 * NL)
-    # consensus: dbuf(order/npred/base/cov/rank (N) x5 + meta + codes/
-    # covs (MCS) x2 + meta_out) + score/ps/bp/buf/predS scratch (pred and
-    # predw are ANY-space, DMA-staged through predS/psT) + ~7 live value
-    # planes (wmax/tie/has/act + loop temporaries) that Mosaic keeps on
-    # the scoped stack beyond the spec-visible blocks
-    cons_bytes = 4 * W * (2 * (5 * N + 2 * MCS + 16)
+    # topsort (grid=1): visit/prev/npred (N) x3 + pred (P,N) + meta +
+    # lvl/order/rank (N) x3 + meta_out + lvlE/cnt/off scratch + ~4 live
+    topsort_bytes = 4 * W * (6 * N + P * N + 16
+                             + N + 2 * NL + 4 * N)
+    # consensus (grid=1): order/npred/base/cov/rank (N) x5 + meta +
+    # codes/covs (MCS) x2 + meta_out + score/ps/bp/buf/predS scratch
+    # (pred and predw are ANY-space, DMA-staged through predS/psT) +
+    # ~7 live value planes (wmax/tie/has/act + loop temporaries)
+    cons_bytes = 4 * W * (5 * N + 2 * MCS + 16
                           + 2 * N + 2 * P * N + MCS
                           + (7 + (P + 31) // 32) * N)
-    # msa: dbuf(order/npred/nalig/base (N) x4 + pred (P,N) + alig (A,N)
-    # + paths (L) + meta + rows (N) + meta_out) + col scratch
+    # msa (grid (1, S) — still multi-step, so dbuf stands): order/npred/
+    # nalig/base (N) x4 + pred (P,N) + alig (A,N) + paths (L) + meta +
+    # rows (N) + meta_out, x2 + col scratch
     msa_bytes = (4 * W * (2 * (5 * N + P * N + A * N + L + 16) + N)
                  if msa else 0)
     return max(add_bytes, nwtb_bytes, topsort_bytes, cons_bytes, msa_bytes)

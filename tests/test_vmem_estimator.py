@@ -10,13 +10,17 @@ compile-time Mosaic VMEM OOM on chip (bench_logs/0820_0621_correct_scale
 class of hole; this test spies on pl.pallas_call and recomputes each
 call's VMEM bytes from its specs directly.
 
-Accounting rules (matched to Mosaic behavior measured on chip):
-- grid-indexed VMEM in/out blocks are double-buffered by the Pallas
-  pipeline (x2) — confirmed even at grid=(1,): the old consensus kernel's
-  measured 18.50 MiB is reproduced by this arithmetic;
-- outputs aliased to ANY-space inputs pipeline single-buffered (x1) —
-  the add kernel demonstrably fits shapes where x2 could not;
+Accounting rules (calibrated against four measured Mosaic allocations:
+the 18.50/16.32/19.50 MiB OOMs at grid 32/16/16 and the grid=1 profiler
+runs that fit):
+- grid product == 1: every VMEM block is held ONCE (no pipelining);
+- grid product > 1: EVERY grid-indexed VMEM in/out block is double-
+  buffered — input_output_aliases included (the 19.50 MiB add-kernel OOM
+  is exactly the x2-planes arithmetic);
 - scratch is single (x1); SMEM and ANY/semaphore operands are not VMEM.
+models/poa dispatches lane-axis kernels in 128-window slices so their
+grid is 1 in production; nwtb (grid Wp/WPG) and MSA (grid (1, S)) still
+run multi-step.
 """
 
 import math
@@ -73,13 +77,14 @@ def _call_vmem_bytes(kw, in_avals, out_shape):
         out_specs = (out_specs,)
     if not isinstance(out_shape, (list, tuple)):
         out_shape = (out_shape,)
-    aliases = dict(kw.get("input_output_aliases") or {})
-    aliased_outs = set(aliases.values())
+    grid = kw.get("grid") or ()
+    if not isinstance(grid, (list, tuple)):
+        grid = (grid,)
+    mult = 1 if math.prod(grid) <= 1 else 2
     total = 0
     for spec, aval in zip(in_specs, in_avals):
-        total += 2 * _block_bytes(spec, aval)
-    for oi, (spec, sd) in enumerate(zip(out_specs, out_shape)):
-        mult = 1 if oi in aliased_outs else 2
+        total += mult * _block_bytes(spec, aval)
+    for spec, sd in zip(out_specs, out_shape):
         total += mult * _block_bytes(spec, sd)
     for sc in kw.get("scratch_shapes") or []:
         total += _scratch_bytes(sc)
@@ -95,9 +100,18 @@ def spy_pallas(monkeypatch):
         wrapped = orig(kernel, **kw)
 
         def runner(*args):
-            calls.append(_call_vmem_bytes(
-                kw, [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args],
-                kw.get("out_shape")))
+            grid = kw.get("grid") or ()
+            if not isinstance(grid, (list, tuple)):
+                grid = (grid,)
+            calls.append({
+                "bytes": _call_vmem_bytes(
+                    kw,
+                    [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args],
+                    kw.get("out_shape")),
+                "grid": tuple(grid),
+                "has_smem_in": any(_space(s) == "smem"
+                                   for s in (kw.get("in_specs") or [])),
+            })
             return wrapped(*args)
 
         return runner
@@ -148,11 +162,40 @@ def test_estimate_bounds_every_pallas_call(name, bs, msa, spy_pallas):
         spy_pallas.clear()
         _drive(bs, msa, WPG)
         assert spy_pallas, "no pallas_call observed (spy not active?)"
-        actual = max(spy_pallas)
+        actual = max(c["bytes"] for c in spy_pallas)
         est = poa_pallas2.vmem_bytes_estimate(bs, msa, WPG=WPG)
         assert est >= actual, (
             f"{name} WPG={WPG}: estimator {est} B < structural {actual} B "
             f"— a kernel's planes are unmodeled (round-4 crash class)")
+
+
+def test_production_dispatch_keeps_lane_kernels_grid1(spy_pallas):
+    """The grid==1 single-buffer accounting above is only valid because
+    models/poa slices every pallas2 dispatch into 128-window chunks.
+    This pins that: a 256-window dispatch through the PRODUCTION program
+    must never issue a lane-axis kernel with grid > 1 (at grid 16 the
+    add kernel measured 19.50 MiB on chip — the round-5 correct_fenced
+    crash).  nwtb (SMEM operands, grid Wp/WPG) and MSA (2-D grid) are
+    the known multi-step exceptions."""
+    from claragenomicsanalysis_tpu.models.poa import create_batch
+
+    cfg = CorrectConfig()
+    bs = _polish_batch_size(cfg, 16)
+    batch = create_batch(batch_size=bs, max_poas=256, backend="pallas2")
+    program = batch._window_program(False)
+    W, S, L = 256, bs.max_sequences_per_poa, bs.max_sequence_size
+    jax.eval_shape(
+        program,
+        jax.ShapeDtypeStruct((W, S, L), jnp.int32),
+        jax.ShapeDtypeStruct((W, S, L), jnp.int32),
+        jax.ShapeDtypeStruct((W, S), jnp.int32),
+        jax.ShapeDtypeStruct((W,), jnp.int32))
+    assert spy_pallas, "no pallas_call observed"
+    bad = [c for c in spy_pallas
+           if math.prod(c["grid"] or (1,)) > 1
+           and not c["has_smem_in"]          # nwtb
+           and len(c["grid"]) < 2]           # msa
+    assert not bad, f"lane-axis kernels dispatched with grid > 1: {bad}"
 
 
 def test_product_polish_shapes_fit_some_wpg():
