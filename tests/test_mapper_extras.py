@@ -439,3 +439,24 @@ def test_chain_anchors_pack2_rebased_ids():
     assert int(n_ref) == int(n_p2) and int(n_ref) > 0
     np.testing.assert_array_equal(np.asarray(r_ref)[:, :int(n_ref)],
                                   np.asarray(r_p2)[:, :int(n_p2)])
+
+
+def test_native_pack2_matches_numpy():
+    """native/pack2.cpp must be bit-identical to pack_reads' NumPy path
+    (packed words AND the row-major in-span N-position lists)."""
+    import numpy as np
+    pytest.importorskip("claragenomicsanalysis_tpu.io.native_pack")
+    from claragenomicsanalysis_tpu.io.native_pack import pack2
+
+    rng = np.random.default_rng(21)
+    B, L = 64, 256
+    mat = rng.integers(-1, 4, (B, L)).astype(np.int8)
+    lens = rng.integers(0, L, B).astype(np.int32)
+    r = np.clip(mat, 0, 3).astype(np.uint8).reshape(B, L // 4, 4)
+    ref = (r[:, :, 0] | (r[:, :, 1] << 2) | (r[:, :, 2] << 4)
+           | (r[:, :, 3] << 6))
+    nn = np.argwhere((mat < 0) & (np.arange(L)[None, :] < lens[:, None]))
+    p, rows, cols = pack2(mat, lens)
+    assert np.array_equal(p, ref)
+    assert np.array_equal(rows, nn[:, 0].astype(np.int32))
+    assert np.array_equal(cols, nn[:, 1].astype(np.int32))
