@@ -83,13 +83,29 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     # overestimate up to ~5x and mis-route long low-error pairs to the
     # slow Hirschberg path)
     Lt = t.shape[1]
+
+    def band_vmem_infeasible(r):
+        # neither Pallas banded layout fits VMEM at this (Lq, Lt, r) —
+        # e.g. r=1024 needs 20.77 MiB in the row layout (the round-5
+        # correct_full crash, 0820_1318_correct_full.log).  Such wide-
+        # band spans are exactly what the linear-memory Hirschberg path
+        # exists for; routing them there also keeps them off banded.py's
+        # slow XLA-twin safety net.
+        if not use_pallas:
+            return False
+        from ..ops.nw_band_pallas import ROW_VMEM_BUDGET, vmem_row_bytes
+        from ..ops.nw_diag_pallas import VMEM_BLOCK_BUDGET, vmem_block_bytes
+        return (vmem_block_bytes(Lq, Lt, r) > VMEM_BLOCK_BUDGET
+                and vmem_row_bytes(Lq, Lt, r) > ROW_VMEM_BUDGET)
+
     for b in range(B):
         if qlen[b] == 0 and tlen[b] == 0:
             continue                      # batch-padding rows: empty path
         r = 1 << int(radii[b] - 1).bit_length()
         r = max(r, 8)
         if (queries is not None and b < len(queries)
-                and tb_bytes_per_problem(Lq, Lt, r, kind) > tb_cap):
+                and (tb_bytes_per_problem(Lq, Lt, r, kind) > tb_cap
+                     or band_vmem_infeasible(r))):
             hirsch.append(b)
         else:
             buckets.setdefault(r, []).append(b)

@@ -28,6 +28,15 @@ from ..utils.mathutils import round_up
 DEFAULT_KERNEL = "diag"
 
 
+class _XlaTb:
+    """Marker wrapping the XLA scan twin's traceback array when the
+    'diag' kind fell back to it (both Pallas layouts VMEM-infeasible);
+    decode_diag unwraps it for the host decoder."""
+
+    def __init__(self, tb):
+        self.tb = tb
+
+
 def resolve(backend: str):
     """-> (kind, nw_fn, decode_fn) for a backend string.
 
@@ -67,7 +76,8 @@ def resolve(backend: str):
 
     from .nw_diag_pallas import (VMEM_BLOCK_BUDGET, banded_nw_diag_pallas,
                                  vmem_block_bytes)
-    from .nw_band_pallas import band_width_sub
+    from .nw_band_pallas import (ROW_VMEM_BUDGET, band_width_sub,
+                                 vmem_row_bytes)
 
     allow_row_fallback = backend in ("auto", "pallas")
 
@@ -79,21 +89,35 @@ def resolve(backend: str):
         # the query, so it stays feasible there; fall back per bucket.
         # r < 4 also routes to row: there the two layouts' band widths
         # collide (both 8) and decode below could not tell them apart.
+        # Buckets NEITHER kernel fits (very wide bands: r=1024 needs
+        # 20.77 MiB in the row layout — 0820_1318_correct_full.log) fall
+        # back to the XLA scan twin: slow but VMEM-unbounded.  Upstream
+        # routing (align/myers_aligner) sends such spans to Hirschberg
+        # before they get here, so the twin is the rare-tail safety net.
         # An explicit "pallas-diag" request skips the fallback and hits
         # the kernel's own loud assert instead.
         if (allow_row_fallback
                 and (r < 4 or vmem_block_bytes(
                     q.shape[1], t.shape[1], r) > VMEM_BLOCK_BUDGET)):
+            if (r >= 4 and vmem_row_bytes(
+                    q.shape[1], t.shape[1], r) > ROW_VMEM_BUDGET):
+                sc, tb = nw_band.banded_nw(q, qlen, t, tlen, r)
+                return sc, _XlaTb(tb)
             return banded_nw_pallas(q, qlen, t, tlen, r,
                                     interpret=interpret)
         return banded_nw_diag_pallas(q, qlen, t, tlen, r,
                                      interpret=interpret)
 
     def decode_diag(tb, qlen, tlen, r):
-        # mirror nw_diag's choice: without the fallback the tb is always
-        # the diag layout; with it, the band widths disagree for every
-        # r >= 4 (diag: round_up(r+1, 8), row: round_up(2r+1, 8)) and
-        # r < 4 always went to row above
+        # mirror nw_diag's choice: the XLA twin's tb rides in an explicit
+        # marker (shape-sniffing would collide at e.g. r=127 where
+        # round_up(2r+1, 8) == band_width(r)); without the fallback the
+        # tb is always the diag layout; with it, the packed band widths
+        # disagree for every r >= 4 (diag: round_up(r+1, 8), row:
+        # round_up(2r+1, 8)) and r < 4 always went to row above
+        if isinstance(tb, _XlaTb):
+            import numpy as np
+            return nw_band.traceback_paths(np.asarray(tb.tb), qlen, tlen, r)
         if not allow_row_fallback:
             diag = True
         elif r < 4:

@@ -154,6 +154,30 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
             axis=0, keepdims=True)
 
 
+#: feasibility budget for the row kernel's scoped-VMEM allocation (one
+#: v5e core has 16 MiB; leave headroom for Mosaic)
+ROW_VMEM_BUDGET = 14 * 2**20
+
+
+def vmem_row_bytes(Lq0: int, Lt: int, band_radius: int) -> int:
+    """Scoped-VMEM bytes one grid step of the row kernel needs.  Rule
+    calibrated on the measured 20.77 MiB Mosaic allocation at
+    Lq=2048/r=1024 (bench_logs/0820_1318_correct_full.log): grid > 1
+    double-buffers every VMEM in/out block, scratch is single, and ~11
+    (W, 128) value planes (prev/cur/final/acc + the min-plus shift
+    chain) stay live on the stack beyond the spec-visible blocks."""
+    r = band_radius
+    W = band_width_sub(r)
+    R = 16
+    Lq = round_up(max(Lq0, 1), R)
+    S = round_up(max(r + Lt, Lq) + W + 8, 8)
+    ins = 2 * 4 * 128 * (R + S + 2)
+    outs = 2 * (128 * 4 + (R // 4) * W * 128)
+    scratch = 2 * W * 128 * 4
+    live = 11 * W * 128 * 4
+    return ins + outs + scratch + live
+
+
 @functools.partial(jax.jit, static_argnames=("band_radius", "interpret"))
 def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
                      interpret: bool = False):
