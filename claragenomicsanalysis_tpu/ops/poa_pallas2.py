@@ -1220,25 +1220,40 @@ def _build_consensus_kernel(bs: BatchSize):
         act = iN < ncr
         npv = npredT[...]
 
-        def slot_w(p):
-            # weight of pred slot p, NEG where the slot is empty/inactive
-            # — recomputed inline at each use so no P-plane list stays
-            # live (16 simultaneous (N, W) planes cost ~3.1 MiB of Mosaic
-            # stack at the product polish shape and pushed the kernel to
-            # 16.32 MiB vs the 16 MiB limit, 0820_0947_correct_w128.log)
-            return jnp.where((p < npv) & act, psT[p], NEG)
+        # Setup runs as fori_loops over the pred slot, NOT unrolled
+        # straight-line code: Mosaic reuses scoped-stack slots across a
+        # loop REGION's iterations but allocates every top-level SSA
+        # temporary uniquely — the unrolled P=16 setup held ~2P (N, W)
+        # planes live (w_p + slot masks), measured 16.32 MiB at the
+        # product polish shape (0820_0947_correct_w128.log) and still
+        # over-limit at N=512 after inline recomputation
+        # (0820_1318_poa_phases3.log).  A loop body is traced once, so
+        # only ~2 temporary planes exist regardless of P.
+        def _slot_w_dyn(p):
+            # psT[p] with a TRACED index: (1, N, W) dynamic slice -> (N, W)
+            wp = psT[pl.ds(p, 1)][0]
+            return jnp.where((p < npv) & act, wp, NEG)
 
-        wmax = slot_w(0)
-        for p in range(1, P):
-            wmax = jnp.maximum(wmax, slot_w(p))
+        wmax = jax.lax.fori_loop(
+            0, P,
+            lambda p, wm: jnp.maximum(wm, _slot_w_dyn(p)),
+            jnp.full((N, W), NEG, jnp.int32))
         # tie bits packed into int32 planes (bit p%32 of plane p//32 =
         # "slot p achieves wmax") so P live bool planes don't sit in VMEM
         # across the sweep loops; unpacked per-p at each use site.
         ntie = (P + 31) // 32
-        tie_planes = [jnp.zeros((N, W), jnp.int32) for _ in range(ntie)]
-        for p in range(P):
-            tie_planes[p // 32] = tie_planes[p // 32] | jnp.where(
-                slot_w(p) == wmax, 1 << (p % 32), 0)
+        if ntie == 1:
+            tie_planes = [jax.lax.fori_loop(
+                0, P,
+                lambda p, tp: tp | jnp.where(_slot_w_dyn(p) == wmax,
+                                             jnp.left_shift(1, p), 0),
+                jnp.zeros((N, W), jnp.int32))]
+        else:
+            # P > 32 (no product shape): unrolled per-plane accumulation
+            tie_planes = [jnp.zeros((N, W), jnp.int32) for _ in range(ntie)]
+            for p in range(P):
+                tie_planes[p // 32] = tie_planes[p // 32] | jnp.where(
+                    _slot_w_dyn(jnp.int32(p)) == wmax, 1 << (p % 32), 0)
 
         def tie1(p):
             return ((tie_planes[p // 32] >> (p % 32)) & 1) != 0
@@ -1288,15 +1303,31 @@ def _build_consensus_kernel(bs: BatchSize):
             return ()
 
         jax.lax.fori_loop(0, N, fill, ())
-        smax = psT[0]
-        for p in range(1, P):
-            smax = jnp.maximum(smax, psT[p])
-        found = jnp.zeros((N, W), jnp.bool_)
-        bp = jnp.full((N, W), -1, jnp.int32)
-        for p in range(P):
-            hit = tie1(p) & (psT[p] == smax) & ~found
-            bp = jnp.where(hit, predS[p], bp)
-            found = found | hit
+        # best-pred pick: fori_loops for the same scoped-stack reason as
+        # the setup above (top-level unrolled P-chains don't get their
+        # temporaries reused)
+        smax = jax.lax.fori_loop(
+            0, P,
+            lambda p, sm: jnp.maximum(sm, psT[pl.ds(p, 1)][0]),
+            jnp.full((N, W), NEG, jnp.int32))
+        if ntie == 1:
+            def pick(p, c):
+                found, bp = c
+                tb = ((tie_planes[0] >> p) & 1) != 0
+                hit = tb & (psT[pl.ds(p, 1)][0] == smax) & ~found
+                return (found | hit,
+                        jnp.where(hit, predS[pl.ds(p, 1)][0], bp))
+
+            found, bp = jax.lax.fori_loop(
+                0, P, pick, (jnp.zeros((N, W), jnp.bool_),
+                             jnp.full((N, W), -1, jnp.int32)))
+        else:
+            found = jnp.zeros((N, W), jnp.bool_)
+            bp = jnp.full((N, W), -1, jnp.int32)
+            for p in range(P):
+                hit = tie1(p) & (psT[p] == smax) & ~found
+                bp = jnp.where(hit, predS[p], bp)
+                found = found | hit
         bpT[...] = jnp.where(act & has, bp, -1)
 
         # end node: max score, tie -> smallest rank
