@@ -198,6 +198,10 @@ class Index:
             # bench_logs/0820_0621_map_fenced.log): host encode+pack vs
             # tunnel transfer vs device kernel.
             with trace_range("mapper.sketch.encode"):
+                # per-read translate-table encode; measured FASTER than a
+                # concatenated single translate (0.22 vs 1.06 s/chunk —
+                # the 25 MB string join costs more than 2.5 k call
+                # overheads), so the loop stays
                 reads = np.full((B, L), -1, dtype=np.int8)
                 lens = np.zeros(B, dtype=np.int32)
                 for i, s in enumerate(seqs):

@@ -29,6 +29,7 @@ run() {
 }
 
 run correct_full4   python scripts/bench_correct_scale.py --quality
+run correct_full_s8 python scripts/bench_correct_scale.py --quality --max-support 7
 run correct_fenced4 python scripts/bench_correct_scale.py --runs 0 --fenced
 run correct_w128s8b python scripts/bench_correct_scale.py --reads 400 --read-len 3000 --quality --window-length 128 --max-support 7
 run map_scale4      python scripts/bench_map_scale.py
