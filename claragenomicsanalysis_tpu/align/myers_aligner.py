@@ -63,9 +63,11 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
     kind, nw_fn, decode_fn = resolve(backend)
     use_pallas = kind != "xla"
 
+    from ..utils.profiling import trace_range
     B = q.shape[0]
-    _, scores = myers_bottom_row(q, qlen, t, tlen)
-    scores = np.asarray(scores)
+    with trace_range("aligner.myers.score"):
+        _, scores = myers_bottom_row(q, qlen, t, tlen)
+        scores = np.asarray(scores)
     qlen = np.asarray(qlen)
     tlen = np.asarray(tlen)
 
@@ -116,16 +118,19 @@ def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
         chunk = max(8, min(len(idxs), MEM_BUDGET_PER_DISPATCH // per))
         for s0 in range(0, len(idxs), chunk):
             sel = np.array(idxs[s0: s0 + chunk])
-            _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
-            sub_paths = decode_fn(tb, qlen[sel], tlen[sel], r)
+            with trace_range("aligner.myers.banded"):
+                _, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
+            with trace_range("aligner.myers.decode"):
+                sub_paths = decode_fn(tb, qlen[sel], tlen[sel], r)
             for k, b in enumerate(idxs[s0: s0 + chunk]):
                 paths[b] = sub_paths[k]
 
     if hirsch:
         from .hirschberg import hirschberg_align_batch
-        h_paths, _, _ = hirschberg_align_batch(
-            [queries[b] for b in hirsch], [targets[b] for b in hirsch], cfg,
-            backend=backend)
+        with trace_range("aligner.myers.hirschberg"):
+            h_paths, _, _ = hirschberg_align_batch(
+                [queries[b] for b in hirsch], [targets[b] for b in hirsch],
+                cfg, backend=backend)
         for k, b in enumerate(hirsch):
             paths[b] = h_paths[k]
     return paths, scores, statuses
