@@ -51,6 +51,115 @@ TB_BYTES_PER_PROBLEM_PACKED = 1 << 21
 MEM_BUDGET_PER_DISPATCH = 1 << 28
 
 
+def banded_escalate_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
+                                backend: str = "auto",
+                                queries: list[str] | None = None,
+                                targets: list[str] | None = None):
+    """Score-free variant of myers_align_batch: SKIP the O(Lq*Lt) Myers
+    scoring pass and run the banded kernel directly at escalating pow2
+    band radii.
+
+    Soundness: the banded score s' always satisfies s' >= s (the dense
+    edit distance), and if s' <= r then every dense-optimal path stays
+    within |i - j| <= s <= r, so the band contains the dense optimum:
+    s' == s and the banded traceback IS the canonical dense path —
+    identical to what myers_align_batch would return.  Pairs with
+    s' > r double the radius and redo; radii whose banded layouts are
+    VMEM/tb-budget-infeasible route to Hirschberg (optimal paths,
+    non-canonical tie-breaks — the same long-span contract as the Myers
+    path).
+
+    Why: the Myers pass costs Lq*Lt cells per pair regardless of
+    similarity — 36 Tcells for one 400x3kb correction part, ~9 s of its
+    11.65 s align stage — while the banded pass it gates costs
+    Lq*W(r) ~ 100x less on well-matched overlap spans.  The start
+    radius pow2(max(|lq-lt|, (lq+lt)/12)) resolves ~10 %-divergent
+    spans in one round."""
+    from ..utils.profiling import trace_range
+    from ..ops.banded import resolve, tb_bytes_per_problem
+    kind, nw_fn, decode_fn = resolve(backend)
+    use_pallas = kind != "xla"
+    B = q.shape[0]
+    Lq, Lt = q.shape[1], t.shape[1]
+    qlen = np.asarray(qlen)
+    tlen = np.asarray(tlen)
+    paths: list[list[int]] = [[] for _ in range(B)]
+    dists = np.zeros(B, np.int32)
+    statuses = np.full(B, int(StatusType.SUCCESS))
+    tb_cap = (TB_BYTES_PER_PROBLEM_PACKED if use_pallas
+              else TB_BYTES_PER_PROBLEM)
+
+    def infeasible(r):
+        if (queries is not None
+                and tb_bytes_per_problem(Lq, Lt, r, kind) > tb_cap):
+            return True
+        if not use_pallas:
+            return False
+        from ..ops.nw_band_pallas import ROW_VMEM_BUDGET, vmem_row_bytes
+        from ..ops.nw_diag_pallas import VMEM_BLOCK_BUDGET, vmem_block_bytes
+        return (queries is not None
+                and vmem_block_bytes(Lq, Lt, r) > VMEM_BLOCK_BUDGET
+                and vmem_row_bytes(Lq, Lt, r) > ROW_VMEM_BUDGET)
+
+    r_of: dict[int, int] = {}
+    hirsch: list[int] = []
+    for b in range(B):
+        if qlen[b] == 0 and tlen[b] == 0:
+            continue
+        guess = max(abs(int(qlen[b]) - int(tlen[b])),
+                    (int(qlen[b]) + int(tlen[b])) // 12, 8)
+        r = 1 << int(guess - 1).bit_length()
+        while infeasible(r) and r > 8:
+            r //= 2        # start at the largest feasible radius instead
+        if infeasible(r):
+            hirsch.append(b)
+        else:
+            r_of[b] = r
+
+    while r_of:
+        buckets: dict[int, list[int]] = {}
+        for b, r in r_of.items():
+            buckets.setdefault(r, []).append(b)
+        next_r: dict[int, int] = {}
+        for r, idxs in sorted(buckets.items()):
+            per = max(1, tb_bytes_per_problem(Lq, Lt, r, kind))
+            chunk = max(8, min(len(idxs), MEM_BUDGET_PER_DISPATCH // per))
+            for s0 in range(0, len(idxs), chunk):
+                sel = np.array(idxs[s0: s0 + chunk])
+                with trace_range("aligner.banded_escalate.nw"):
+                    sc, tb = nw_fn(q[sel], qlen[sel], t[sel], tlen[sel], r)
+                    sc = np.asarray(sc)[: len(sel)]
+                resolved = sc <= r
+                if resolved.any():
+                    with trace_range("aligner.banded_escalate.decode"):
+                        sub = decode_fn(tb, qlen[sel], tlen[sel], r)
+                    for k, b in enumerate(sel):
+                        if resolved[k]:
+                            paths[b] = sub[k]
+                            dists[b] = sc[k]
+                for k, b in enumerate(sel):
+                    if not resolved[k]:
+                        r2 = 2 * r       # plain doubling: overshoot <= 2x
+                        if infeasible(r2):
+                            hirsch.append(int(b))
+                        else:
+                            next_r[int(b)] = r2
+        r_of = next_r
+
+    if hirsch:
+        from .hirschberg import hirschberg_align_batch
+        assert queries is not None and targets is not None, \
+            "banded-escalate needs query/target strings for wide spans"
+        with trace_range("aligner.myers.hirschberg"):
+            h_paths, h_dists, _ = hirschberg_align_batch(
+                [queries[b] for b in hirsch], [targets[b] for b in hirsch],
+                cfg, backend=backend)
+        for k, b in enumerate(hirsch):
+            paths[b] = h_paths[k]
+            dists[b] = h_dists[k]
+    return paths, dists, statuses
+
+
 def myers_align_batch(q, qlen, t, tlen, cfg: AlignerConfig,
                       backend: str = "auto",
                       queries: list[str] | None = None,

@@ -65,7 +65,8 @@ class Aligner:
     def __init__(self, config: AlignerConfig, algorithm: str = "ukkonen",
                  backend: str = "auto", mesh=None,
                  sp_min_len: int | None = None):
-        if algorithm not in ("ukkonen", "myers", "hirschberg-myers"):
+        if algorithm not in ("ukkonen", "myers", "hirschberg-myers",
+                             "banded-escalate"):
             raise ValueError(f"unknown algorithm {algorithm!r}")
         self.config = config
         self.algorithm = algorithm
@@ -152,6 +153,11 @@ class Aligner:
             elif self.algorithm == "myers":
                 from ..align.myers_aligner import myers_align_batch
                 paths, dists, statuses = myers_align_batch(
+                    q, qlen, t, tlen, cfg, backend=self.backend,
+                    queries=self._queries, targets=self._targets)
+            elif self.algorithm == "banded-escalate":
+                from ..align.myers_aligner import banded_escalate_align_batch
+                paths, dists, statuses = banded_escalate_align_batch(
                     q, qlen, t, tlen, cfg, backend=self.backend,
                     queries=self._queries, targets=self._targets)
             else:

@@ -100,10 +100,14 @@ def _align_overlaps(overlaps: list[Overlap], parser: FastaParser,
     for L, idxs in sorted(buckets.items()):
         for start in range(0, len(idxs), batch_size):
             sel = idxs[start:start + batch_size]
+            # banded-escalate skips the O(Lq*Lt) Myers scoring pass (the
+            # ~9 s wall of a 400x3kb part's align stage) and yields the
+            # identical canonical dense paths for spans that resolve
+            # in-band — see align/myers_aligner.banded_escalate_align_batch
             aligner = create_aligner(
                 L, L, len(sel),
                 band_radius=min(cfg.aligner_band_radius, L),
-                algorithm="myers")
+                algorithm="banded-escalate")
             for i in sel:
                 aligner.add_alignment(*spans[i])
             for i, a in zip(sel, aligner.get_alignments()):

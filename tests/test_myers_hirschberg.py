@@ -123,3 +123,58 @@ def test_myers_long_pair_routes_to_hirschberg(rng):
     qc = sum(1 for s in res.path if s in (0, 1, 2))
     tc = sum(1 for s in res.path if s in (0, 1, 3))
     assert (qc, tc) == (len(a), len(b))
+
+
+def test_banded_escalate_matches_myers_paths():
+    """banded-escalate (score-free) must return byte-identical paths and
+    dists to the myers algorithm for spans that resolve in-band — the
+    canonical-dense-path theorem both rest on."""
+    import numpy as np
+    from claragenomicsanalysis_tpu.core.config import AlignerConfig
+    from claragenomicsanalysis_tpu.align.myers_aligner import (
+        banded_escalate_align_batch, myers_align_batch)
+    from claragenomicsanalysis_tpu.utils.genomeutils import encode
+
+    rng = np.random.default_rng(17)
+
+    def rand(n):
+        return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
+
+    def mutate(s, frac):
+        s = list(s)
+        for _ in range(int(len(s) * frac)):
+            i = int(rng.integers(0, len(s)))
+            op = rng.integers(0, 3)
+            if op == 0:
+                s[i] = "ACGT"[int(rng.integers(0, 4))]
+            elif op == 1 and len(s) > 10:
+                del s[i]
+            else:
+                s.insert(i, "ACGT"[int(rng.integers(0, 4))])
+        return "".join(s)
+
+    qs, ts = [], []
+    for n, frac in ((200, 0.05), (500, 0.1), (350, 0.02), (500, 0.3)):
+        a = rand(n)
+        qs.append(a)
+        ts.append(mutate(a, frac))
+    L = 1024
+    B = len(qs)
+    q = np.full((B, L), -1, np.int8)
+    t = np.full((B, L), -1, np.int8)
+    qlen = np.zeros(B, np.int32)
+    tlen = np.zeros(B, np.int32)
+    for b in range(B):
+        q[b, :len(qs[b])] = encode(qs[b])
+        t[b, :len(ts[b])] = encode(ts[b])
+        qlen[b], tlen[b] = len(qs[b]), len(ts[b])
+    cfg = AlignerConfig(L, L, B, band_radius=256)
+    p_m, d_m, s_m = myers_align_batch(q, qlen, t, tlen, cfg,
+                                      backend="pallas",
+                                      queries=qs, targets=ts)
+    p_e, d_e, s_e = banded_escalate_align_batch(q, qlen, t, tlen, cfg,
+                                                backend="pallas",
+                                                queries=qs, targets=ts)
+    assert list(np.asarray(d_e)) == list(np.asarray(d_m))
+    assert p_e == p_m
+    assert list(s_e) == list(s_m)
