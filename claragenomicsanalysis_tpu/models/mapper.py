@@ -492,11 +492,13 @@ class Overlapper:
     @staticmethod
     def get_overlap_rows_dispatch(anchors: dict, cfg: MapperConfig,
                                   pack2: bool = False, q_base: int = 0,
-                                  t_base: int = 0):
+                                  t_base: int = 0,
+                                  nv_hint: int | None = None):
         """Async half of get_overlap_rows: dispatch chain + compaction,
         return a pending handle for Overlapper.compact_materialize.  The
         pair loops sync each pair ONE PAIR BEHIND so the download overlaps
-        the next pair's device work."""
+        the next pair's device work; nv_hint pre-starts the row download
+        (see compact_dispatch)."""
         frac = Fraction(cfg.min_overlap_fraction).limit_denominator(10**6)
         with trace_range("mapper.chain"):
             out = map_ops.chain_anchors(
@@ -508,17 +510,23 @@ class Overlapper:
                 min_overlap_fraction_den=frac.denominator,
                 max_gap=cfg.max_anchor_gap, pack2=pack2,
                 q_base=q_base, t_base=t_base)
-        return Overlapper.compact_dispatch(out)
+        return Overlapper.compact_dispatch(out, nv_hint=nv_hint)
 
     @staticmethod
-    def compact_dispatch(out: dict, mesh=None):
+    def compact_dispatch(out: dict, mesh=None, nv_hint: int | None = None):
         """Dispatch the compaction WITHOUT syncing; returns an opaque
         pending handle for compact_materialize.  The split lets the
         pair loop pipeline the blocking count+download one pair behind
         the next pair's device work — at Gbp scale (~1156 chunk pairs)
         the per-pair sync serialization, not the kernels, dominated the
         wall (watch.log: 745 s warm with 'compact' soaking 633 s of
-        first-sync roll-up)."""
+        first-sync roll-up).
+
+        nv_hint: expected overlap count (the pair loop ratchets the max
+        seen so far).  When given, a pow2-capped row slice starts its
+        device->host copy ASYNCHRONOUSLY at dispatch time, so the
+        materialize step pays ~zero download latency unless the hint was
+        too small (verified against the true count; rare misses redo)."""
         import jax
         repl = None
         if mesh is not None and jax.process_count() > 1:
@@ -532,23 +540,42 @@ class Overlapper:
                 fn = (map_ops.compact_overlaps if repl is None else
                       jax.jit(map_ops.compact_overlaps, out_shardings=repl))
                 stacked, nv_d = fn(out)
-                return ("sorted", stacked, nv_d, None, None)
-            # large capacity: index-sort + gathers of just the valid
-            # bucket beats dragging 9 cap-sized operands through a sort;
-            # the count sync + gather dispatch happen at materialize time
-            # (one pair later), still overlapped with the NEXT pair
-            nv_d = map_ops.count_valid(out)
-            return ("gather", None, nv_d, out, repl)
+                kind = "sorted"
+            else:
+                # large capacity: index-sort + gathers of just the valid
+                # bucket beats dragging 9 cap-sized operands through a
+                # sort; without a hint the gather is sized at materialize
+                # time (one pair later), still overlapped with the NEXT
+                # pair's device work
+                nv_d = map_ops.count_valid(out)
+                stacked = None
+                kind = "gather"
+            sl = cap_h = None
+            if nv_hint is not None and repl is None:
+                cap_h = min(C, max(128,
+                                   1 << (max(nv_hint, 1) - 1).bit_length()))
+                if kind == "gather":
+                    stacked = map_ops.compact_overlaps_gather(out, cap_h)
+                    sl = stacked
+                else:
+                    sl = stacked[:, :cap_h]
+                try:
+                    sl.copy_to_host_async()
+                except AttributeError:   # non-jax arrays in tests
+                    pass
+            return (kind, stacked, nv_d, out, repl, sl, cap_h)
 
     @staticmethod
     def compact_materialize(pending) -> np.ndarray:
         """Sync + download a compact_dispatch handle to the canonical
         (8, n_valid) host rows."""
         import jax
-        kind, stacked, nv_d, out, repl = pending
+        kind, stacked, nv_d, out, repl, sl, cap_h = pending
         with trace_range("mapper.compact"):
             nv = int(nv_d)
-            if kind == "gather":
+            if sl is not None and nv <= cap_h:
+                rows = np.asarray(sl)[:, :nv]     # async copy done/cheap
+            elif kind == "gather":
                 C = out["valid"].shape[0]
                 cap_o = min(C, max(128, 1 << (max(nv, 1) - 1).bit_length()))
                 if repl is None:
@@ -557,7 +584,9 @@ class Overlapper:
                     stacked = jax.jit(
                         lambda o: map_ops.compact_overlaps_gather(o, cap_o),
                         out_shardings=repl)(out)
-            rows = np.asarray(stacked[:, :nv])        # ONE small download
+                rows = np.asarray(stacked[:, :nv])
+            else:
+                rows = np.asarray(stacked[:, :nv])    # ONE small download
         return rows[:, _canonical_order(rows)]
 
     @staticmethod
@@ -861,17 +890,41 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
     # reference gets from its per-GPU worker threads.  The cache is only
     # touched by the single producer thread.
     all_rows = []
-    cap_est: int | None = None     # ratcheting capacity across pairs
-    pending = None                 # previous pair's compaction, not yet synced
+    cap_est: int | None = None     # ratcheting anchor-capacity hint
+    nv_est: int | None = None      # ratcheting overlap-count hint
+    pending = None                 # previous pair, not yet synced
     from ..utils.profiling import is_fenced
     # fenced profiling: run SERIAL — the prefetch worker's fenced ranges
     # would otherwise absorb this thread's device time (see is_fenced)
     pair_iter = (map(build_pair, pairs) if is_fenced()
                  else prefetch_map(build_pair, pairs, depth=2))
+
+    def materialize(pend):
+        # EVERY per-pair blocking sync lives here, one pair behind the
+        # dispatches: the truncation check (reads the anchor count the
+        # device finished long ago), the capacity/count ratchets, and the
+        # row download (usually already on host via the async copy).  At
+        # Gbp scale ~3 exposed tunnel round trips per pair x 1156 pairs
+        # were 247 s of the 621 s warm wall (0820_1318_map_gbp2.log).
+        nonlocal cap_est, nv_est
+        matcher, cur, qidx_, tidx_, p2 = pend
+        if matcher.truncated:      # rare: redo this pair at exact capacity
+            matcher = Matcher.create_matcher(qidx_, tidx_, cfg,
+                                             cap=max_anchors)
+            cur = Overlapper.get_overlap_rows_dispatch(
+                matcher.anchors(), cfg, pack2=p2,
+                q_base=qidx_.first_read_id, t_base=tidx_.first_read_id)
+        cap_est = max(cap_est or 0,
+                      1 << (max(matcher.n_anchors, 1) - 1).bit_length())
+        statuses.append(matcher.status)
+        rows_ = Overlapper.compact_materialize(cur)
+        nv_est = max(nv_est or 128, rows_.shape[1])
+        all_rows.append(rows_)
+
     for qidx, tidx in pair_iter:
         if mesh is not None and mesh.shape.get("rep", 1) > 1:
             if pending is not None:
-                all_rows.append(Overlapper.compact_materialize(pending))
+                materialize(pending)
                 pending = None
             rows, st = _mesh_overlap_rows(
                 qidx, tidx, cfg, mesh, max_anchors,
@@ -880,30 +933,20 @@ def map_all_vs_all(parser: FastaParser, cfg: MapperConfig,
             all_rows.append(rows)
             continue
         # pair 0 takes the exact-capacity (synced) path and seeds the
-        # ratchet; later pairs dispatch with the hint and skip the blocking
-        # count round trip — a truncated hint (rare) redoes that pair exact
+        # ratchets; later pairs dispatch with the hints and defer every
+        # blocking read to materialize()
+        p2 = _pack2_ok(qidx, tidx)
         matcher = Matcher.create_matcher(qidx, tidx, cfg, cap=max_anchors,
                                          cap_hint=cap_est)
         cur = Overlapper.get_overlap_rows_dispatch(
-            matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
-            q_base=qidx.first_read_id, t_base=tidx.first_read_id)
-        if matcher.truncated:
-            matcher = Matcher.create_matcher(qidx, tidx, cfg,
-                                             cap=max_anchors)
-            cur = Overlapper.get_overlap_rows_dispatch(
-                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
-                q_base=qidx.first_read_id, t_base=tidx.first_read_id)
-        cap_est = max(cap_est or 0,
-                      1 << (max(matcher.n_anchors, 1) - 1).bit_length())
-        statuses.append(matcher.status)
-        # pipeline: sync the PREVIOUS pair's compaction while this pair's
-        # chain runs — the per-pair download round trip cost the Gbp run
-        # its wall (1156 serialized pairs; watch.log)
+            matcher.anchors(), cfg, pack2=p2,
+            q_base=qidx.first_read_id, t_base=tidx.first_read_id,
+            nv_hint=nv_est)
         if pending is not None:
-            all_rows.append(Overlapper.compact_materialize(pending))
-        pending = cur
+            materialize(pending)
+        pending = (matcher, cur, qidx, tidx, p2)
     if pending is not None:
-        all_rows.append(Overlapper.compact_materialize(pending))
+        materialize(pending)
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     rows = rows[:, _canonical_order(rows)]
@@ -931,15 +974,33 @@ def map_query_vs_target(query_parser: FastaParser,
     cache = IndexCache(store_dir=index_store_dir)
     statuses: list[StatusType] = []
     all_rows = []
-    cap_est: int | None = None     # ratcheting capacity (see map_all_vs_all)
-    pending = None                 # one-behind compaction (see map_all_vs_all)
+    cap_est: int | None = None     # ratcheting hints (see map_all_vs_all)
+    nv_est: int | None = None
+    pending = None                 # one-behind pair (see map_all_vs_all)
+
+    def materialize(pend):
+        nonlocal cap_est, nv_est
+        matcher, cur, qidx_, tidx_, p2 = pend
+        if matcher.truncated:
+            matcher = Matcher.create_matcher(qidx_, tidx_, cfg,
+                                             cap=max_anchors)
+            cur = Overlapper.get_overlap_rows_dispatch(
+                matcher.anchors(), cfg, pack2=p2,
+                q_base=qidx_.first_read_id, t_base=tidx_.first_read_id)
+        cap_est = max(cap_est or 0,
+                      1 << (max(matcher.n_anchors, 1) - 1).bit_length())
+        statuses.append(matcher.status)
+        rows_ = Overlapper.compact_materialize(cur)
+        nv_est = max(nv_est or 128, rows_.shape[1])
+        all_rows.append(rows_)
+
     for (qf, ql) in qchunks:
         qidx = cache.get_or_create(query_parser, qf, ql, cfg)
         for (tf, tl) in tchunks:
             tidx = cache.get_or_create(target_parser, tf, tl, cfg)
             if mesh is not None and mesh.shape.get("rep", 1) > 1:
                 if pending is not None:
-                    all_rows.append(Overlapper.compact_materialize(pending))
+                    materialize(pending)
                     pending = None
                 rows, st = _mesh_overlap_rows(
                     qidx, tidx, cfg, mesh, max_anchors,
@@ -947,26 +1008,19 @@ def map_query_vs_target(query_parser: FastaParser,
                 statuses.append(st)
                 all_rows.append(rows)
                 continue
+            p2 = _pack2_ok(qidx, tidx)
             matcher = Matcher.create_matcher(qidx, tidx, cfg,
                                              cap=max_anchors,
                                              cap_hint=cap_est)
             cur = Overlapper.get_overlap_rows_dispatch(
-                matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
-                q_base=qidx.first_read_id, t_base=tidx.first_read_id)
-            if matcher.truncated:
-                matcher = Matcher.create_matcher(qidx, tidx, cfg,
-                                                 cap=max_anchors)
-                cur = Overlapper.get_overlap_rows_dispatch(
-                    matcher.anchors(), cfg, pack2=_pack2_ok(qidx, tidx),
-                    q_base=qidx.first_read_id, t_base=tidx.first_read_id)
-            cap_est = max(cap_est or 0,
-                          1 << (max(matcher.n_anchors, 1) - 1).bit_length())
-            statuses.append(matcher.status)
+                matcher.anchors(), cfg, pack2=p2,
+                q_base=qidx.first_read_id, t_base=tidx.first_read_id,
+                nv_hint=nv_est)
             if pending is not None:
-                all_rows.append(Overlapper.compact_materialize(pending))
-            pending = cur
+                materialize(pending)
+            pending = (matcher, cur, qidx, tidx, p2)
     if pending is not None:
-        all_rows.append(Overlapper.compact_materialize(pending))
+        materialize(pending)
     rows = (np.concatenate(all_rows, axis=1) if all_rows
             else np.zeros((8, 0), np.int32))
     rows = rows[:, _canonical_order(rows)]

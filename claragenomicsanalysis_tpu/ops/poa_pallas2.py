@@ -1311,15 +1311,18 @@ def _build_consensus_kernel(bs: BatchSize):
             lambda p, sm: jnp.maximum(sm, psT[pl.ds(p, 1)][0]),
             jnp.full((N, W), NEG, jnp.int32))
         if ntie == 1:
+            # `found` rides as an int32 0/1 plane: a vector-mask (i1)
+            # loop carry fails Mosaic's scf.for legalization
+            # (0820_1512_correct_full4.log)
             def pick(p, c):
                 found, bp = c
                 tb = ((tie_planes[0] >> p) & 1) != 0
-                hit = tb & (psT[pl.ds(p, 1)][0] == smax) & ~found
-                return (found | hit,
+                hit = tb & (psT[pl.ds(p, 1)][0] == smax) & (found == 0)
+                return (jnp.where(hit, 1, found),
                         jnp.where(hit, predS[pl.ds(p, 1)][0], bp))
 
             found, bp = jax.lax.fori_loop(
-                0, P, pick, (jnp.zeros((N, W), jnp.bool_),
+                0, P, pick, (jnp.zeros((N, W), jnp.int32),
                              jnp.full((N, W), -1, jnp.int32)))
         else:
             found = jnp.zeros((N, W), jnp.bool_)
