@@ -34,17 +34,17 @@ from ..ops.myers import myers_bottom_row_best as myers_bottom_row
 TB_BYTES_PER_PROBLEM = 1 << 18
 
 #: per-problem budget for the Pallas backend, counted on the PACKED tb
-#: (4 codes/byte).  Sized by the device decode kernel's VMEM staging —
-#: it expands a problem's packed bytes to (Lq/4, W) int32 scratch
-#: (= Lq*W bytes = 4x packed), and one v5e core has ~16 MiB VMEM — so
-#: 2 MiB packed -> 8 MiB scratch with headroom for the double-buffered
-#: input block.  Routing matters: a 3 kb overlap span at ~10 % combined
-#: error needs r ~= 512 (787 KiB packed), and the banded dispatch+decode
-#: is ~4 round trips per batch where the host-driven Hirschberg D&C is
-#: ~2 per level x log2(L/32) levels plus per-fragment numpy slicing —
-#: the old unpacked 256 KiB threshold sent every such span down the
-#: slow path.
-TB_BYTES_PER_PROBLEM_PACKED = 1 << 21
+#: (4 codes/byte).  Sized by the device decode kernel's VMEM arithmetic:
+#: per grid step it holds the packed block double-buffered (2x PB int8)
+#: plus the (Lq/4, W) int32 expansion scratch (4x PB), so PB <=
+#: 14 MiB / 6.  Routing matters twice over: a 3 kb overlap span at
+#: ~10 % combined error needs r ~= 512 (787 KiB packed), and a 5 kb
+#: span in the Lq=8192 bucket at r=512 needs 2.13 MiB — 1.7 % over the
+#: old flat 2 MiB cap, which pushed HALF the 1000x5kb correction spans
+#: onto the O(Lq*Lt) Hirschberg path (129 s of a 228 s run,
+#: 0820_1512_correct_full_s8.log).  Hirschberg costs 2x the FULL dense
+#: DP; the banded path at r=512 is ~30,000x fewer cells.
+TB_BYTES_PER_PROBLEM_PACKED = (14 << 20) // 6
 
 #: device-memory budget per banded re-run dispatch (bounds tb bytes in
 #: flight; mirrors Aligner.MEM_BUDGET_PER_DISPATCH)

@@ -70,12 +70,24 @@ def _shift_from_lower_sub(x, s, krow, fill):
     return jnp.where(krow >= s, rolled, fill)
 
 
-def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
-            prev_ref, final_ref, *, band_radius: int, W: int, Lq: int,
-            R: int, dp_dtype, dp_inf: int):
+def _kernel(qT_ref, tT_hbm, qlen_ref, tlen_ref, score_ref, tb_ref,
+            prev_ref, final_ref, tscr_ref, dma_sem, *, band_radius: int,
+            W: int, Lq: int, R: int, dp_dtype, dp_inf: int):
     r = band_radius
+    bt = pl.program_id(0)                 # batch tile (lane block)
     chunk = pl.program_id(1)              # R DP rows per grid step
     n_chunks = pl.num_programs(1)
+    # The target window rides in HBM (ANY) and only the rows this grid
+    # step touches — [chunk*R, chunk*R + W + R) — are DMA'd into scratch:
+    # the old full-length (S, 128) double-buffered VMEM block was ~10 MiB
+    # at Lq=8192 and made wide-band long buckets Mosaic-infeasible
+    # (0820_1318_correct_full.log).
+    cp = pltpu.make_async_copy(
+        tT_hbm.at[pl.ds(chunk * R, W + R),
+                  pl.ds(bt * LANE_TILE, LANE_TILE)],
+        tscr_ref, dma_sem)
+    cp.start()
+    cp.wait()
     krow = jax.lax.broadcasted_iota(jnp.int32, (W, LANE_TILE), 0)
     krow_dp = krow.astype(dp_dtype)
     inf = jnp.asarray(dp_inf, dp_dtype)
@@ -97,16 +109,22 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
     prev = prev_ref[:]
     final = final_ref[:]
     base = chunk * R
-    acc = jnp.zeros((W, LANE_TILE), jnp.int32)
+    acc0 = jnp.zeros((W, LANE_TILE), jnp.int32)
 
-    for rr in range(R):                   # static unroll: R rows per step
+    # fori_loop over the R rows, NOT a static unroll: Mosaic reuses
+    # scoped-stack slots across a loop region's iterations but allocates
+    # top-level SSA temporaries uniquely, and the unrolled R=16 rows'
+    # temporaries (~11 (W, 128) planes measured) put wide bands over the
+    # 16 MiB limit (the same lesson as the POA consensus kernel).
+    def row_step(rr, carry):
+        prev, final, acc = carry
         i = base + rr + 1                 # DP row 1..Lq
         jv = i + delta
         # 0 <= jv <= tlen as ONE unsigned compare; padding lanes have
         # tlen = 0 so they only keep the jv == 0 column (masked by in_band)
         valid = (jv.astype(jnp.uint32) <= tlen_u) & (i <= qlen) & in_band
-        tvec = tT_ref[pl.ds(base + rr, W), :]   # t[j-1] per (k, problem)
-        qch = qT_ref[rr, :][None, :]            # (1, LANE_TILE), static row
+        tvec = tscr_ref[pl.ds(rr, W), :]        # t[j-1] per (k, problem)
+        qch = qT_ref[pl.ds(rr, 1), :]           # (1, LANE_TILE)
         sub = jnp.where((qch == tvec) & (qch >= 0),
                         jnp.asarray(0, dp_dtype),
                         jnp.asarray(1, dp_dtype))
@@ -134,13 +152,25 @@ def _kernel(qT_ref, tT_ref, qlen_ref, tlen_ref, score_ref, tb_ref,
             jnp.where(cur == left + jnp.asarray(1, dp_dtype),
                       jnp.asarray(AlignmentState.DELETION, dp_dtype),
                       jnp.asarray(AlignmentState.INSERTION, dp_dtype)))
-        acc = acc | (code.astype(jnp.int32) << (2 * (rr % 4)))
-        if rr % 4 == 3:
-            tb_ref[rr // 4] = acc.astype(jnp.int8)
-            acc = jnp.zeros((W, LANE_TILE), jnp.int32)
+        m = rr % 4
+        code32 = code.astype(jnp.int32)
+        # static shifts + selects (a dynamic shift-by-scalar may not
+        # legalize; four cases cover the 2-bit packing positions)
+        code32 = jnp.where(m == 1, code32 << 2,
+                           jnp.where(m == 2, code32 << 4,
+                                     jnp.where(m == 3, code32 << 6,
+                                               code32)))
+        acc = acc | code32
 
+        @pl.when(m == 3)
+        def _store():
+            tb_ref[pl.ds(rr // 4, 1)] = acc.astype(jnp.int8)[None]
+
+        acc = jnp.where(m == 3, 0, acc)
         final = jnp.where(i == qlen, cur, final)
-        prev = cur
+        return cur, final, acc
+
+    prev, final, _ = jax.lax.fori_loop(0, R, row_step, (prev, final, acc0))
 
     prev_ref[:] = prev
     final_ref[:] = final
@@ -160,21 +190,23 @@ ROW_VMEM_BUDGET = 14 * 2**20
 
 
 def vmem_row_bytes(Lq0: int, Lt: int, band_radius: int) -> int:
-    """Scoped-VMEM bytes one grid step of the row kernel needs.  Rule
-    calibrated on the measured 20.77 MiB Mosaic allocation at
-    Lq=2048/r=1024 (bench_logs/0820_1318_correct_full.log): grid > 1
-    double-buffers every VMEM in/out block, scratch is single, and ~11
-    (W, 128) value planes (prev/cur/final/acc + the min-plus shift
-    chain) stay live on the stack beyond the spec-visible blocks."""
+    """Scoped-VMEM bytes one grid step of the row kernel needs (grid > 1
+    double-buffers every VMEM in/out block; scratch single; ~7 live
+    (W, 128) value planes — the fori_loop'd row body's carries plus the
+    min-plus chain temporaries).  The pre-round-5 kernel held the FULL
+    (S, 128) target in double-buffered VMEM (~10 MiB at Lq=8192) and
+    unrolled all R=16 rows at top level (~11 live planes, measured via
+    the 20.77 MiB Mosaic OOM at Lq=2048/r=1024); the target now streams
+    through a (W+R, 128) DMA window and rows run as a loop region, so
+    wide-band long buckets (Lq=8192, r<=1024) fit — which is what keeps
+    5 kb correction spans off the O(Lq*Lt) Hirschberg path."""
     r = band_radius
     W = band_width_sub(r)
     R = 16
-    Lq = round_up(max(Lq0, 1), R)
-    S = round_up(max(r + Lt, Lq) + W + 8, 8)
-    ins = 2 * 4 * 128 * (R + S + 2)
+    ins = 2 * 4 * 128 * (R + 2)
     outs = 2 * (128 * 4 + (R // 4) * W * 128)
-    scratch = 2 * W * 128 * 4
-    live = 11 * W * 128 * 4
+    scratch = (2 * W + W + R) * 128 * 4
+    live = 7 * W * 128 * 4
     return ins + outs + scratch + live
 
 
@@ -229,8 +261,8 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
         in_specs=[
             pl.BlockSpec((R, LANE_TILE), lambda b, i: (i, b),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((S, LANE_TILE), lambda b, i: (0, b),
-                         memory_space=pltpu.VMEM),
+            # target stays in HBM; the kernel DMAs its (W+R)-row window
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec((1, LANE_TILE), lambda b, i: (0, b),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANE_TILE), lambda b, i: (0, b),
@@ -249,6 +281,8 @@ def banded_nw_pallas(q, qlen, t, tlen, band_radius: int,
         scratch_shapes=[
             pltpu.VMEM((W, LANE_TILE), dp_dtype),   # prev row
             pltpu.VMEM((W, LANE_TILE), dp_dtype),   # final-row snapshot
+            pltpu.VMEM((W + R, LANE_TILE), jnp.int32),  # target window
+            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=Bp * Lq * W * (10 + 2 * max(1, (W - 1).bit_length())),

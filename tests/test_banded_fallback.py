@@ -17,14 +17,18 @@ def _rand(rng, n):
     return "".join("ACGT"[c] for c in rng.integers(0, 4, n))
 
 
-def test_vmem_row_bytes_matches_measured_oom():
-    """The estimator must flag the shape Mosaic measured at 20.77 MiB
-    (Lq=2048, r=1024) as infeasible, and keep the known-good on-chip
-    shapes (512bp/r=64 A/B; the 8192/r=128 long-bucket fallback)."""
-    assert vmem_row_bytes(2048, 2048, 1024) > ROW_VMEM_BUDGET
-    assert vmem_row_bytes(2048, 2048, 1024) > int(20.0 * 2**20)  # ~measured
+def test_vmem_row_bytes_feasibility_frontier():
+    """The streamed-target/fori-row kernel must keep the known-good
+    on-chip shapes feasible, ADMIT the correction-critical wide-band
+    shapes the pre-round-5 kernel could not (Lq=2048/r=1024 measured
+    20.77 MiB then; Lq=8192/r<=512 is what keeps 5 kb spans off the
+    O(Lq*Lt) Hirschberg path), and still flag band widths beyond ~1.5 k
+    as infeasible."""
     assert vmem_row_bytes(512, 512, 64) <= ROW_VMEM_BUDGET
     assert vmem_row_bytes(8192, 8192, 128) <= ROW_VMEM_BUDGET
+    assert vmem_row_bytes(2048, 2048, 1024) <= ROW_VMEM_BUDGET   # new
+    assert vmem_row_bytes(8192, 8192, 512) <= ROW_VMEM_BUDGET    # new
+    assert vmem_row_bytes(4096, 4096, 2048) > ROW_VMEM_BUDGET
 
 
 def test_myers_routes_wide_band_spans_to_hirschberg():
@@ -63,7 +67,7 @@ def test_banded_xla_twin_fallback_paths_correct():
     from claragenomicsanalysis_tpu.ops.banded import resolve
 
     rng = np.random.default_rng(5)
-    B, L, r = 2, 2048, 1024
+    B, L, r = 2, 4096, 2048
     q = np.full((B, L), -1, np.int8)
     t = np.full((B, L), -1, np.int8)
     qlen = np.zeros(B, np.int32)
