@@ -182,9 +182,14 @@ def main():
         "concat no tb": dict(scan_impl="concat", write_tb=False),
     }
     for name, kw in variants.items():
-        fn = build(r, Lq, Lt, **kw)
-        dt = time_scanned(fn, datasets, loops=64)
-        print(f"{name:16s} {cells / dt / 1e9:8.1f} Gcells/s")
+        try:
+            fn = build(r, Lq, Lt, **kw)
+            dt = time_scanned(fn, datasets, loops=64)
+            print(f"{name:16s} {cells / dt / 1e9:8.1f} Gcells/s")
+        except Exception as e:  # noqa: BLE001 — a rejected variant (e.g.
+            # the deliberate cummin lowering probe) must not abort the
+            # remaining ablations
+            print(f"{name:16s} REJECTED: {str(e).splitlines()[0][:120]}")
 
 
 if __name__ == "__main__":
