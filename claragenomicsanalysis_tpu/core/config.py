@@ -141,7 +141,14 @@ class CorrectConfig:
     # <=128-base windows fit the v2 lockstep POA kernels' VMEM planes at
     # S=P=16 (docs/POA_V2.md), so 500 also forced the slow v1 polish path.
     window_length: int = 128
-    max_support: int = 15             # supporting segments per window
+    # supporting segments per window.  7 measured BOTH faster AND more
+    # accurate than 15 on chip at two scales (400x3kb: 48.7k vs ~26k
+    # bases/s, reduction 0.8976; 1000x5kb: 41.5k vs 35.1k, 0.9335 vs
+    # 0.9285 — bench_logs/0820_1703_correct_full5{,_s8}.log): past ~7
+    # supports the consensus saturates and extra noisy rows average
+    # error back in, while the pileup depth caps (P = depth) grow the
+    # POA cost superlinearly.
+    max_support: int = 7
     min_matched_bases: int = 8        # matched pairs a support must place
     aligner_band_radius: int = 256    # per-overlap re-alignment band
     max_alignment_length: int = 16384 # overlaps longer than this are skipped
