@@ -175,7 +175,12 @@ class Batch:
 
     def _pack_arrays(self, bs, S, L, W):
         Wp = max(8, 1 << (W - 1).bit_length())
-        seqs = np.full((Wp, S, L), -1, dtype=np.int32)
+        # seqs ship as int8 (codes are -1..3) and weights as uint8 when
+        # they fit (the correction path's are all 1): the (W, S, L)
+        # planes are the polish stage's dominant tunnel traffic, and
+        # int32 moved 8x the necessary bytes; _generate casts to int32
+        # ON DEVICE so every backend still sees int32.
+        seqs = np.full((Wp, S, L), -1, dtype=np.int8)
         weights = np.zeros((Wp, S, L), dtype=np.int32)
         lens = np.zeros((Wp, S), dtype=np.int32)
         n_seqs = np.zeros(Wp, dtype=np.int32)
@@ -188,6 +193,8 @@ class Batch:
                 seqs[wi, si, : len(s)] = encode(s)
                 weights[wi, si, : len(s)] = wt
                 lens[wi, si] = len(s)
+        if weights.size and 0 <= weights.min() and weights.max() <= 255:
+            weights = weights.astype(np.uint8)
         return seqs, weights, lens, n_seqs
 
     def _window_program(self, msa: bool):
@@ -279,14 +286,18 @@ class Batch:
         seqs, weights, lens, n_seqs = self._pack_arrays(bs, S, L, W)
         msa = bool(self.output_mask & OutputType.MSA)
         program = self._window_program(msa)
+        # transfer the small dtypes, cast to int32 on DEVICE (free next
+        # to the POA scan; keeps every backend's int32 contract)
+        seqs_d = jnp.asarray(seqs).astype(jnp.int32)
+        weights_d = jnp.asarray(weights).astype(jnp.int32)
         if self.mesh is not None and self.mesh.shape.get("data", 1) > 1:
             # window dim sharded over the mesh 'data' axis; merging is
             # concatenation so N-device == 1-device bit-for-bit
             from ..parallel.shard import sharded_poa
             self._out_dev = sharded_poa(
-                program, seqs, weights, lens, n_seqs, self.mesh)
+                program, seqs_d, weights_d, lens, n_seqs, self.mesh)
             return
-        self._out_dev = program(jnp.asarray(seqs), jnp.asarray(weights),
+        self._out_dev = program(seqs_d, weights_d,
                                 jnp.asarray(lens), jnp.asarray(n_seqs))
 
     def _ensure(self):
