@@ -460,3 +460,54 @@ def test_native_pack2_matches_numpy():
     assert np.array_equal(p, ref)
     assert np.array_equal(rows, nn[:, 0].astype(np.int32))
     assert np.array_equal(cols, nn[:, 1].astype(np.int32))
+
+
+def _chain_out_for_test(n_valid, cap):
+    """A synthetic chain-output dict with n_valid valid rows scattered
+    through a cap-sized buffer (the compact_dispatch input shape)."""
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(5)
+    valid = np.zeros(cap, bool)
+    valid[rng.choice(cap, n_valid, replace=False)] = True
+    out = {"valid": jnp.asarray(valid)}
+    from claragenomicsanalysis_tpu.models.mapper import map_ops
+    for i, f in enumerate(map_ops.OVERLAP_FIELDS):
+        out[f] = jnp.asarray(rng.integers(0, 1000, cap).astype(np.int32))
+    return out
+
+
+@pytest.mark.parametrize("n_valid,cap,hint", [
+    (300, 1 << 12, 512),     # hint generous: async slice path
+    (300, 1 << 12, 64),      # hint TOO SMALL: must fall back, not truncate
+    (300, 1 << 12, None),    # no hint: original path
+])
+def test_compact_dispatch_hint_paths_bit_identical(n_valid, cap, hint):
+    """The nv_hint fast path (async pre-download of a pow2-capped row
+    slice) must return EXACTLY the rows of the hint-less path — including
+    when the hint is too small and the materialize step must redo the
+    full download rather than silently truncate."""
+    from claragenomicsanalysis_tpu.models.mapper import Overlapper
+
+    out = _chain_out_for_test(n_valid, cap)
+    rows_ref = Overlapper.compact_materialize(
+        Overlapper.compact_dispatch(dict(out)))
+    rows_hint = Overlapper.compact_materialize(
+        Overlapper.compact_dispatch(dict(out), nv_hint=hint))
+    import numpy as np
+    assert rows_hint.shape == rows_ref.shape == (8, n_valid)
+    assert np.array_equal(rows_hint, rows_ref)
+
+
+def test_compact_dispatch_hint_gather_path():
+    """Same contract on the large-capacity gather path (cap > 2^21)."""
+    from claragenomicsanalysis_tpu.models.mapper import Overlapper
+
+    out = _chain_out_for_test(200, (1 << 21) + (1 << 18))
+    rows_ref = Overlapper.compact_materialize(
+        Overlapper.compact_dispatch(dict(out)))
+    for hint in (1024, 32):       # generous and too-small
+        rows_hint = Overlapper.compact_materialize(
+            Overlapper.compact_dispatch(dict(out), nv_hint=hint))
+        import numpy as np
+        assert np.array_equal(rows_hint, rows_ref)
